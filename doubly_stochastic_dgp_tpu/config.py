@@ -1,0 +1,106 @@
+"""Global numerics configuration: dtype policy and jitter.
+
+Mirrors the capability of GPflow 1.x ``settings`` (float_type, jitter,
+numerics.jitter_level, temp_settings) used throughout the reference
+(/root/reference/doubly_stochastic_dgp/dgp.py:26, layers.py:162,171,
+utils.py:41,47, tests/test_dgp.py:7-11) — redesigned as a small explicit
+config object with context-manager overrides instead of a global TF graph
+setting.
+
+TPU-first dtype policy: the reference runs float64 end-to-end on CPU.  On
+TPU, float32 (with a larger jitter) is the performance mode; float64 is
+used on CPU for parity tests.  ``set_default_float('float64')`` enables
+JAX x64 globally.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import threading
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "Config",
+    "config",
+    "default_float",
+    "default_jitter",
+    "set_default_float",
+    "set_default_jitter",
+    "as_default_float",
+    "temp_config",
+]
+
+
+@dataclasses.dataclass
+class Config:
+    float_dtype: str = "float64"
+    # GPflow 1.x default jitter level is 1e-6; tests override (e.g. 1e-18
+    # at tests/test_dgp.py:8, 1e-12 at tests/test_zoo_models.py:12).
+    jitter: float = 1e-6
+    # Linear-solve strategy for the M x M Cholesky backsolves on the hot
+    # path: 'solve' uses triangular solves (max accuracy, parity mode);
+    # 'inverse' inverts the M x M Cholesky factor once per step and
+    # replaces the large (M, S*N) triangular solve with an MXU matmul
+    # (TPU speed mode).  Both agree to ~1e-5 in float32.
+    solve_mode: str = "solve"
+    # Whether to route gram-matrix construction through the Pallas fused
+    # kernel (TPU only; falls back to XLA elsewhere).
+    use_pallas: bool = False
+
+
+_local = threading.local()
+
+
+def _cfg() -> Config:
+    if not hasattr(_local, "cfg"):
+        _local.cfg = Config()
+    return _local.cfg
+
+
+#: module-level handle (read-only use preferred; mutate via setters below)
+config = _cfg()
+
+
+def default_float():
+    return jnp.dtype(_cfg().float_dtype)
+
+
+def default_jitter() -> float:
+    return _cfg().jitter
+
+
+def set_default_float(dtype) -> None:
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+    _cfg().float_dtype = dtype.name
+
+
+def set_default_jitter(value: float) -> None:
+    _cfg().jitter = float(value)
+
+
+def as_default_float(x):
+    return jnp.asarray(x, dtype=default_float())
+
+
+@contextlib.contextmanager
+def temp_config(**overrides):
+    """Temporarily override config fields (the ``temp_settings`` analogue)."""
+    cfg = _cfg()
+    saved = dataclasses.asdict(cfg)
+    try:
+        for k, v in overrides.items():
+            if not hasattr(cfg, k):
+                raise AttributeError(f"unknown config field {k!r}")
+            if k == "float_dtype":
+                set_default_float(v)
+            else:
+                setattr(cfg, k, v)
+        yield cfg
+    finally:
+        for k, v in saved.items():
+            setattr(cfg, k, v)

@@ -1,0 +1,203 @@
+"""Deep GP models: the doubly-stochastic MC bound (DGP), the quadrature
+bound (DGPQuad), and the convenience constructor with linear/PCA mean
+skip connections.
+
+Rebuilds /root/reference/doubly_stochastic_dgp/dgp.py as a functional
+pytree model:
+
+  - ``propagate`` tiles the minibatch to S samples and walks the layer
+    stack drawing reparameterized samples (reference dgp.py:62-76);
+    the Python loop unrolls under jit (L is small and the layers are
+    heterogeneous), each layer's conditional is one fused
+    gram->solve->matmul pipeline on the MXU.
+  - The ELBO is scale * sum E[log p(y|f)] - sum KL (reference
+    dgp.py:83-98), a pure function of (model, batch, key) — one jitted
+    ``train_step`` replaces the reference's per-step session.run.
+  - The ``@autoflow`` prediction surface (predict_f / predict_y /
+    predict_density / predict_all_layers, dgp.py:100-126) becomes plain
+    methods; wrap with jax.jit(static_argnames='S') at the call site.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import logsumexp
+
+from ..config import default_float
+from ..ops.likelihoods import Likelihood
+from ..ops.quadrature import mvhermgauss
+from ..utils.modules import Module, static_field
+from .initializations import init_layers_linear
+from .mean_functions import Zero
+
+__all__ = ["DGPBase", "DGP", "DGPQuad"]
+
+
+class DGPBase(Module):
+    """Base Deep GP with the Monte-Carlo variational bound
+    (reference DGP_Base, dgp.py:35-126)."""
+
+    likelihood: Likelihood = None
+    layers: Any = None
+    X_data: Any = None          # (N, D) training inputs (buffer)
+    Y_data: Any = None          # (N, D_Y) training targets (buffer)
+    num_samples: int = static_field(default=1)
+    num_data: int = static_field(default=0)
+
+    @classmethod
+    def make(cls, X, Y, likelihood, layers, num_samples=1, num_data=None,
+             **kwargs):
+        X = jnp.asarray(X, dtype=default_float())
+        Y = jnp.asarray(Y, dtype=default_float())
+        return cls(likelihood=likelihood, layers=list(layers),
+                   X_data=X, Y_data=Y, num_samples=num_samples,
+                   num_data=int(num_data or X.shape[0]), **kwargs)
+
+    # -- forward -------------------------------------------------------------
+    def propagate(self, X, key=None, full_cov=False, S=1, zs=None):
+        """Tile X to (S, N, D) and sample through every layer.
+
+        Returns (Fs, Fmeans, Fvars) lists, one entry per layer
+        (reference dgp.py:62-76).  ``zs`` (one per layer, broadcastable
+        to (S, N, D_l)) overrides random sampling — the quadrature /
+        fixed-sample path (priors.ipynb cell 5 pattern).
+        """
+        sX = jnp.tile(X[None, :, :], (S, 1, 1))
+        Fs, Fmeans, Fvars = [], [], []
+        F = sX
+        if zs is None:
+            zs = [None] * len(self.layers)
+        keys = (jax.random.split(key, len(self.layers))
+                if key is not None else [None] * len(self.layers))
+        for layer, z, k in zip(self.layers, zs, keys):
+            F, Fmean, Fvar = layer.sample_from_conditional(
+                F, z=z, key=k, full_cov=full_cov)
+            Fs.append(F)
+            Fmeans.append(Fmean)
+            Fvars.append(Fvar)
+        return Fs, Fmeans, Fvars
+
+    def _predict(self, X, key=None, full_cov=False, S=1, zs=None):
+        _, Fmeans, Fvars = self.propagate(X, key=key, full_cov=full_cov,
+                                          S=S, zs=zs)
+        return Fmeans[-1], Fvars[-1]
+
+    # -- training objective ----------------------------------------------------
+    def E_log_p_Y(self, X, Y, key):
+        """MC estimate of E_q[log p(y | f_L)], averaged over S
+        (reference dgp.py:83-90).  Returns (N, D)."""
+        Fmean, Fvar = self._predict(X, key=key, full_cov=False,
+                                    S=self.num_samples)
+        var_exp = self.likelihood.variational_expectations(Fmean, Fvar, Y)
+        return jnp.mean(var_exp, axis=0)
+
+    def elbo(self, X=None, Y=None, key=None):
+        """The doubly-stochastic ELBO (reference dgp.py:92-98):
+        (num_data / batch) * sum E[log p] - sum_l KL_l."""
+        X = self.X_data if X is None else X
+        Y = self.Y_data if Y is None else Y
+        L = jnp.sum(self.E_log_p_Y(X, Y, key))
+        KL = sum((layer.KL() for layer in self.layers),
+                 jnp.zeros((), dtype=default_float()))
+        scale = jnp.asarray(self.num_data, dtype=L.dtype) / X.shape[0]
+        return L * scale - KL
+
+    def loss(self, X=None, Y=None, key=None):
+        return -self.elbo(X, Y, key)
+
+    # -- prediction surface ------------------------------------------------------
+    def predict_f(self, Xnew, S, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return self._predict(Xnew, key=key, full_cov=False, S=S)
+
+    def predict_f_full_cov(self, Xnew, S, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return self._predict(Xnew, key=key, full_cov=True, S=S)
+
+    def predict_all_layers(self, Xnew, S, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return self.propagate(Xnew, key=key, full_cov=False, S=S)
+
+    def predict_all_layers_full_cov(self, Xnew, S, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return self.propagate(Xnew, key=key, full_cov=True, S=S)
+
+    def predict_y(self, Xnew, S, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        Fmean, Fvar = self._predict(Xnew, key=key, full_cov=False, S=S)
+        return self.likelihood.predict_mean_and_var(Fmean, Fvar)
+
+    def predict_density(self, Xnew, Ynew, S, key=None):
+        """MC mixture predictive density: logsumexp over samples
+        (reference dgp.py:121-126)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        Fmean, Fvar = self._predict(Xnew, key=key, full_cov=False, S=S)
+        l = self.likelihood.predict_density(Fmean, Fvar, Ynew)
+        log_S = jnp.log(jnp.asarray(S, dtype=l.dtype))
+        return logsumexp(l - log_S, axis=0)
+
+
+class DGP(DGPBase):
+    """The paper's model: PCA/identity-initialized SVGP stack + MC bound
+    (reference dgp.py:169-193)."""
+
+    @classmethod
+    def build(cls, X, Y, Z, kernels, likelihood, num_outputs=None,
+              mean_function=None, white=False, num_samples=1,
+              num_data=None):
+        X = np.asarray(X)
+        Y = np.asarray(Y)
+        num_outputs = num_outputs or Y.shape[1]
+        if mean_function is None:
+            mean_function = Zero(output_dim=num_outputs)
+        layers = init_layers_linear(X, Y, Z, kernels,
+                                    num_outputs=num_outputs,
+                                    mean_function=mean_function,
+                                    white=white)
+        return cls.make(X, Y, likelihood, layers,
+                        num_samples=num_samples, num_data=num_data)
+
+
+class DGPQuad(DGPBase):
+    """Gauss-Hermite quadrature over the inner layers instead of MC
+    (reference DGP_Quad, dgp.py:129-166).  Exponential in the total inner
+    width — used for exactness tests and the natgrad oracle."""
+
+    gh_x: Any = None            # list of per-layer fixed z grids
+    gh_w: Any = None            # (H**D_quad,) weights
+    H: int = static_field(default=100)
+    D_quad: int = static_field(default=1)
+
+    @classmethod
+    def build(cls, X, Y, likelihood, layers, H=100, num_data=None):
+        layers = list(layers)
+        inner_dims = [int(l.q_mu.value.shape[1]) for l in layers[:-1]]
+        D_quad = int(sum(inner_dims))
+        gh_x, gh_w = mvhermgauss(H, D_quad)
+        gh_x = gh_x * np.sqrt(2.0)                       # (H**Dq, Dq)
+        gh_w = gh_w * np.pi ** (-0.5 * D_quad)           # (H**Dq,)
+        # split the grid per layer; shape (S, 1, d) broadcasts with (S, N, d)
+        zs, s = [], 0
+        for d in inner_dims:
+            zs.append(jnp.asarray(gh_x[:, None, s:s + d],
+                                  dtype=default_float()))
+            s += d
+        zs.append(jnp.zeros((1, 1, 1), dtype=default_float()))
+        base = DGPBase.make(X, Y, likelihood, layers, num_data=num_data)
+        return cls(likelihood=base.likelihood, layers=base.layers,
+                   X_data=base.X_data, Y_data=base.Y_data,
+                   num_samples=1, num_data=base.num_data,
+                   gh_x=zs, gh_w=jnp.asarray(gh_w, dtype=default_float()),
+                   H=H, D_quad=D_quad)
+
+    def E_log_p_Y(self, X, Y, key=None):
+        S = self.H ** self.D_quad
+        _, Fmeans, Fvars = self.propagate(X, zs=self.gh_x, full_cov=False,
+                                          S=S)
+        var_exp = self.likelihood.variational_expectations(
+            Fmeans[-1], Fvars[-1], Y)                       # (S, N, D)
+        return jnp.sum(var_exp * self.gh_w[:, None, None], axis=0)

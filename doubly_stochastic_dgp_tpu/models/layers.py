@@ -1,0 +1,457 @@
+"""GP layer library: SVGP, SGPMC, GPMC, and the collapsed GPR/SGPR layers.
+
+Rebuilds /root/reference/doubly_stochastic_dgp/layers.py as pure-function
+pytree modules.  The sparse conditional math (reference layers.py:178-219),
+the analytic KL (layers.py:221-246), the dense MC layer (layers.py:263-293)
+and the collapsed exact/Titsias bounds (layers.py:310-367 + the gplvm
+helpers at layers.py:371-525) are all re-derived here on JAX primitives:
+Cholesky + triangular solves lower to XLA's TPU linalg; the D_out-batched
+covariance products are einsums that map straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import default_float, default_jitter
+from ..ops.linalg import (add_jitter, gauss_kl_nonwhite, gauss_kl_white,
+                          mvn_logpdf, reparameterize, safe_cholesky,
+                          tri_solve)
+from ..utils.modules import Module, Param, static_field
+from .mean_functions import MeanFunction, Zero
+
+__all__ = [
+    "Layer", "SVGPLayer", "SGPMCLayer", "GPMCLayer",
+    "CollapsedLayer", "GPRLayer", "SGPRLayer",
+]
+
+
+class Layer(Module):
+    """Base layer: multisample conditionals, sampling, input propagation.
+
+    Mirrors the abstract base at reference layers.py:36-119.
+    """
+
+    def conditional_ND(self, X, full_cov=False):
+        """Conditional mean/variance at a 2D batch of inputs (B, D_in).
+
+        Returns mean (B, D_out) and var (B, D_out) (diag) or
+        (B, B, D_out) (full)."""
+        raise NotImplementedError
+
+    def KL(self):
+        return jnp.zeros((), dtype=default_float())
+
+    @property
+    def num_outputs(self):
+        raise NotImplementedError
+
+    def conditional_SND(self, X, full_cov=False):
+        """Multisample conditional over X (S, N, D_in); independent over S.
+
+        Diagonal path flattens to one (S*N, D_in) batch — a single big
+        gram/matmul for the MXU (reference layers.py:71-73); full-cov path
+        vmaps over S (the JAX-native tf.map_fn, layers.py:66-69)."""
+        if full_cov:
+            return jax.vmap(lambda a: self.conditional_ND(a, full_cov=True))(X)
+        S, N, D = X.shape
+        mean, var = self.conditional_ND(X.reshape(S * N, D))
+        return (mean.reshape(S, N, self.num_outputs),
+                var.reshape(S, N, self.num_outputs))
+
+    def sample_from_conditional(self, X, z=None, key=None, full_cov=False):
+        """Conditional + reparameterized sample (+ input propagation).
+
+        X: (S, N, D_in).  Provide either ``z`` (fixed whitened points,
+        used by quadrature/visualization paths) or ``key`` (JAX PRNG).
+        Mirrors reference layers.py:76-119.
+        """
+        mean, var = self.conditional_SND(X, full_cov=full_cov)
+        S, N = X.shape[0], X.shape[1]
+        D = self.num_outputs
+        if z is None:
+            if key is None:
+                raise ValueError("need a PRNG key when z is not given")
+            z = jax.random.normal(key, (S, N, D), dtype=mean.dtype)
+        else:
+            z = jnp.broadcast_to(jnp.asarray(z, dtype=mean.dtype), (S, N, D))
+        samples = reparameterize(mean, var, z, full_cov=full_cov)
+
+        p = getattr(self, "input_prop_dim", None)
+        if p:
+            X_prop = X[:, :, :p]
+            samples = jnp.concatenate([X_prop, samples], axis=2)
+            mean = jnp.concatenate([X_prop, mean], axis=2)
+            if full_cov:
+                zeros = jnp.zeros((S, N, N, p), dtype=var.dtype)
+                var = jnp.concatenate([zeros, var], axis=3)
+            else:
+                var = jnp.concatenate([jnp.zeros_like(X_prop), var], axis=2)
+        return samples, mean, var
+
+
+def _init_q_sqrt(Z, kern, num_outputs, white):
+    """Identity init (white) or prior Cholesky init (non-white), as at
+    reference layers.py:149-163."""
+    M = Z.shape[0]
+    if white:
+        q = np.tile(np.eye(M)[None], [num_outputs, 1, 1])
+    else:
+        Ku = np.asarray(kern.K(jnp.asarray(Z, dtype=default_float())))
+        Lu = np.linalg.cholesky(Ku + np.eye(M) * default_jitter())
+        q = np.tile(Lu[None], [num_outputs, 1, 1])
+    return q
+
+
+class SVGPLayer(Layer):
+    """Sparse variational GP layer (the workhorse; reference layers.py:122).
+
+    Holds kernel, inducing inputs Z (M, D_in), q_mu (M, D_out), q_sqrt
+    (D_out, M, M) lower-triangular, mean function and the whitening flag.
+    """
+
+    kern: Any = None
+    Z: Param = None
+    q_mu: Param = None
+    q_sqrt: Optional[Param] = None
+    mean_function: MeanFunction = None
+    num_outputs_: int = static_field(default=1)
+    white: bool = static_field(default=False)
+    input_prop_dim: Optional[int] = static_field(default=None)
+
+    @classmethod
+    def make(cls, kern, Z, num_outputs, mean_function=None, white=False,
+             input_prop_dim=None):
+        Z = np.asarray(Z, dtype=default_float())
+        M = Z.shape[0]
+        if mean_function is None:
+            mean_function = Zero(output_dim=num_outputs)
+        q_mu = np.zeros((M, num_outputs))
+        q_sqrt = _init_q_sqrt(Z, kern, num_outputs, white)
+        return cls(
+            kern=kern,
+            Z=Param.create(Z),
+            q_mu=Param.create(q_mu),
+            q_sqrt=Param.triangular(q_sqrt),
+            mean_function=mean_function,
+            num_outputs_=num_outputs,
+            white=white,
+            input_prop_dim=input_prop_dim,
+        )
+
+    @property
+    def num_outputs(self):
+        return self.num_outputs_
+
+    @property
+    def num_inducing(self):
+        return self.Z.value.shape[0]
+
+    def _chol_Kuu(self):
+        Z = self.Z.value
+        Ku = add_jitter(self.kern.K(Z))
+        return Ku, jnp.linalg.cholesky(Ku)
+
+    def conditional_ND(self, X, full_cov=False):
+        """Sparse GP conditional (reference layers.py:178-219).
+
+        mean = A^T q_mu + m(X),   A = Lu^{-1} Kuf (white) or Ku^{-1} Kuf
+        var  = Kff + A^T (q_sqrt q_sqrt^T - {I | Ku}) A
+        """
+        Ku, Lu = self._chol_Kuu()
+        Kuf = self.kern.K(self.Z.value, X)                     # (M, B)
+        A = tri_solve(Lu, Kuf, lower=True)
+        if not self.white:
+            A = tri_solve(Lu, A, lower=True, trans=True)       # Ku^{-1} Kuf
+
+        mean = A.T @ self.q_mu.value                           # (B, D)
+
+        M = self.num_inducing
+        I = jnp.eye(M, dtype=X.dtype)
+        SK = -I[None] if self.white else -Ku[None]             # (1|D, M, M)
+        if self.q_sqrt is not None:
+            q_sqrt = self.q_sqrt.value                         # (D, M, M)
+            SK = SK + jnp.einsum("dij,dkj->dik", q_sqrt, q_sqrt)
+
+        B = jnp.einsum("dij,jb->dib", SK, A)                   # (D, M, B)
+        if full_cov:
+            delta_cov = jnp.einsum("ib,dic->dbc", A, B)        # (D, B, B)
+            Kff = self.kern.K(X)
+            var = Kff[None] + delta_cov                        # (D, B, B)
+            var = jnp.transpose(var, (1, 2, 0))                # (B, B, D)
+        else:
+            delta_cov = jnp.einsum("ib,dib->db", A, B)         # (D, B)
+            Kff = self.kern.Kdiag(X)
+            var = (Kff[None] + delta_cov).T                    # (B, D)
+        return mean + self.mean_function(X), var
+
+    def KL(self):
+        """Analytic KL(q(u) || p(u)) (reference layers.py:221-246)."""
+        if self.q_sqrt is None:
+            return jnp.zeros((), dtype=default_float())
+        q_mu = self.q_mu.value
+        q_sqrt = self.q_sqrt.value
+        if self.white:
+            return gauss_kl_white(q_mu, q_sqrt)
+        _, Lu = self._chol_Kuu()
+        return gauss_kl_nonwhite(q_mu, q_sqrt, Lu)
+
+
+class SGPMCLayer(SVGPLayer):
+    """Sparse layer for MCMC over inducing values (reference layers.py:249):
+    q_sqrt is None, q_mu carries a unit Gaussian prior, KL() = 0 (the prior
+    enters the HMC target via log_prior)."""
+
+    @classmethod
+    def make(cls, kern, Z, num_outputs, mean_function=None, white=False,
+             input_prop_dim=None):
+        base = SVGPLayer.make(kern, Z, num_outputs, mean_function, white,
+                              input_prop_dim)
+        return cls(
+            kern=base.kern, Z=base.Z,
+            q_mu=base.q_mu.replace(prior=("gaussian", 0.0, 1.0)),
+            q_sqrt=None,
+            mean_function=base.mean_function,
+            num_outputs_=num_outputs, white=white,
+            input_prop_dim=input_prop_dim,
+        )
+
+    def KL(self):
+        return jnp.zeros((), dtype=default_float())
+
+
+class GPMCLayer(Layer):
+    """Dense layer with fixed inputs X for HMC (reference layers.py:263).
+
+    The prior Cholesky of K(X) is precomputed at build time (host numpy);
+    q_mu has a unit Gaussian prior.  No minibatching.
+    """
+
+    kern: Any = None
+    q_mu: Param = None
+    mean_function: MeanFunction = None
+    X_fixed: Any = None            # (N, D_in) buffer
+    Lu: Any = None                 # (N, N) buffer, chol(K(X) + jitter I)
+    num_outputs_: int = static_field(default=1)
+    input_prop_dim: Optional[int] = static_field(default=None)
+
+    @classmethod
+    def make(cls, kern, X, num_outputs, mean_function=None,
+             input_prop_dim=None):
+        X = np.asarray(X, dtype=default_float())
+        if mean_function is None:
+            mean_function = Zero(output_dim=num_outputs)
+        N = X.shape[0]
+        Ku = np.asarray(kern.K(jnp.asarray(X))) + np.eye(N) * default_jitter()
+        Lu = np.linalg.cholesky(Ku)
+        q_mu = np.zeros((N, num_outputs))
+        return cls(
+            kern=kern,
+            q_mu=Param.create(q_mu, prior=("gaussian", 0.0, 1.0)),
+            mean_function=mean_function,
+            X_fixed=jnp.asarray(X, dtype=default_float()),
+            Lu=jnp.asarray(Lu, dtype=default_float()),
+            num_outputs_=num_outputs,
+            input_prop_dim=input_prop_dim,
+        )
+
+    @property
+    def num_outputs(self):
+        return self.num_outputs_
+
+    def build_latents(self):
+        """Deterministic latents f = Lu q_mu + m(X) (reference
+        layers.py:282-287)."""
+        f = self.Lu @ self.q_mu.value + self.mean_function(self.X_fixed)
+        if self.input_prop_dim:
+            f = jnp.concatenate([self.X_fixed[:, :self.input_prop_dim], f],
+                                axis=1)
+        return f
+
+    def conditional_ND(self, Xnew, full_cov=False):
+        """Whitened dense conditional with q_sqrt=None (the
+        gpflow.conditionals.conditional call at reference layers.py:289-293)."""
+        Kuf = self.kern.K(self.X_fixed, Xnew)                  # (N, B)
+        A = tri_solve(self.Lu, Kuf, lower=True)                # (N, B)
+        mean = A.T @ self.q_mu.value + self.mean_function(Xnew)
+        if full_cov:
+            var = self.kern.K(Xnew) - A.T @ A                  # (B, B)
+            var = jnp.repeat(var[:, :, None], self.num_outputs, axis=2)
+        else:
+            var = self.kern.Kdiag(Xnew) - jnp.sum(A ** 2, axis=0)
+            var = jnp.repeat(var[:, None], self.num_outputs, axis=1)
+        return mean, var
+
+
+class CollapsedLayer(Layer):
+    """Mixin for layers whose output GP is analytically integrated out
+    (reference layers.py:296-307).  Data is passed explicitly instead of
+    stashed via set_data — the functional JAX idiom."""
+
+    def set_data(self, X_mean, X_var, Y, lik_variance):
+        """Returns a copy carrying the propagated data (stored as pytree
+        leaves so everything stays jittable)."""
+        return self.replace(_X_mean=X_mean, _X_var=X_var, _Y=Y,
+                            _lik_variance=lik_variance)
+
+    def build_likelihood(self):
+        raise NotImplementedError
+
+
+class GPRLayer(CollapsedLayer):
+    """Collapsed exact-GPR final layer (reference layers.py:310-342)."""
+
+    kern: Any = None
+    mean_function: MeanFunction = None
+    _X_mean: Any = None
+    _X_var: Any = None
+    _Y: Any = None
+    _lik_variance: Any = None
+    num_outputs_: int = static_field(default=1)
+    input_prop_dim: Optional[int] = static_field(default=None)
+
+    @classmethod
+    def make(cls, kern, mean_function, num_outputs):
+        return cls(kern=kern, mean_function=mean_function,
+                   num_outputs_=num_outputs)
+
+    @property
+    def num_outputs(self):
+        return self.num_outputs_
+
+    def _chol(self):
+        X = self._X_mean
+        K = self.kern.K(X) + jnp.eye(X.shape[0], dtype=X.dtype) * self._lik_variance
+        return jnp.linalg.cholesky(K)
+
+    def conditional_ND(self, Xnew, full_cov=False):
+        X = self._X_mean
+        L = self._chol()
+        Kx = self.kern.K(X, Xnew)                               # (N, B)
+        A = tri_solve(L, Kx, lower=True)
+        V = tri_solve(L, self._Y - self.mean_function(X), lower=True)
+        fmean = A.T @ V + self.mean_function(Xnew)
+        D_Y = self._Y.shape[1]
+        if full_cov:
+            fvar = self.kern.K(Xnew) - A.T @ A
+            fvar = jnp.repeat(fvar[:, :, None], D_Y, axis=2)
+        else:
+            fvar = self.kern.Kdiag(Xnew) - jnp.sum(A ** 2, axis=0)
+            fvar = jnp.repeat(fvar[:, None], D_Y, axis=1)
+        return fmean, fvar
+
+    def build_likelihood(self):
+        """Exact log marginal likelihood (reference layers.py:337-342)."""
+        L = self._chol()
+        m = self.mean_function(self._X_mean)
+        return jnp.sum(mvn_logpdf(self._Y, m, L))
+
+
+class SGPRLayer(CollapsedLayer):
+    """Collapsed sparse (Titsias) final layer, incl. the uncertain-input
+    (psi-statistics) branch (reference layers.py:345-367 + 371-525)."""
+
+    kern: Any = None
+    Z: Param = None
+    mean_function: MeanFunction = None
+    _X_mean: Any = None
+    _X_var: Any = None
+    _Y: Any = None
+    _lik_variance: Any = None
+    num_outputs_: int = static_field(default=1)
+    input_prop_dim: Optional[int] = static_field(default=None)
+
+    @classmethod
+    def make(cls, kern, Z, num_outputs, mean_function):
+        Z = np.asarray(Z, dtype=default_float())
+        return cls(kern=kern, Z=Param.create(Z),
+                   mean_function=mean_function, num_outputs_=num_outputs)
+
+    @property
+    def num_outputs(self):
+        return self.num_outputs_
+
+    # -- shared pieces -------------------------------------------------------
+    def _common(self):
+        """Returns (A, B-chol LB, c, L) for the certain-input branch, or the
+        psi-statistics versions when X_var is given; mirrors reference
+        layers.py:371-450."""
+        from ..ops.psi_stats import psi_statistics
+
+        Z = self.Z.value
+        M = Z.shape[0]
+        variance = self._lik_variance
+        sigma = jnp.sqrt(variance)
+        Kuu = add_jitter(self.kern.K(Z))
+        L = jnp.linalg.cholesky(Kuu)
+        if self._X_var is None:
+            err = self._Y - self.mean_function(self._X_mean)
+            Kuf = self.kern.K(Z, self._X_mean)
+            A = tri_solve(L, Kuf, lower=True) / sigma
+            AAT = A @ A.T
+            B = AAT + jnp.eye(M, dtype=A.dtype)
+            LB = jnp.linalg.cholesky(B)
+            Aerr = A @ err
+            c = tri_solve(LB, Aerr, lower=True) / sigma
+            return dict(L=L, A=A, AAT=AAT, LB=LB, c=c, err=err)
+        else:
+            psi0, psi1, psi2s = psi_statistics(self.kern, self._X_mean,
+                                               self._X_var, Z)
+            A = tri_solve(L, psi1.T, lower=True) / sigma
+            tmp = tri_solve(L, psi2s, lower=True)
+            AAT = tri_solve(L, tmp.T, lower=True) / variance
+            B = AAT + jnp.eye(M, dtype=A.dtype)
+            LB = jnp.linalg.cholesky(B)
+            c = tri_solve(LB, A @ self._Y, lower=True) / sigma
+            return dict(L=L, A=A, AAT=AAT, LB=LB, c=c, psi0=psi0)
+
+    def build_likelihood(self):
+        variance = self._lik_variance
+        Y = self._Y
+        num_data = jnp.asarray(Y.shape[0], dtype=Y.dtype)
+        output_dim = jnp.asarray(Y.shape[1], dtype=Y.dtype)
+        cm = self._common()
+        LB, c, AAT = cm["LB"], cm["c"], cm["AAT"]
+        if self._X_var is None:
+            err = cm["err"]
+            Kdiag = self.kern.Kdiag(self._X_mean)
+            bound = -0.5 * num_data * output_dim * jnp.log(2 * jnp.pi)
+            bound -= output_dim * jnp.sum(jnp.log(jnp.diagonal(LB)))
+            bound -= 0.5 * num_data * output_dim * jnp.log(variance)
+            bound += -0.5 * jnp.sum(err ** 2) / variance
+            bound += 0.5 * jnp.sum(c ** 2)
+            bound += -0.5 * output_dim * jnp.sum(Kdiag) / variance
+            bound += 0.5 * output_dim * jnp.sum(jnp.diagonal(AAT))
+            return bound
+        else:
+            psi0 = cm["psi0"]
+            ND = jnp.asarray(Y.size, dtype=Y.dtype)
+            log_det_B = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
+            bound = -0.5 * ND * jnp.log(2 * jnp.pi * variance)
+            bound += -0.5 * output_dim * log_det_B
+            bound += -0.5 * jnp.sum(Y ** 2) / variance
+            bound += 0.5 * jnp.sum(c ** 2)
+            bound += -0.5 * output_dim * (jnp.sum(psi0) / variance
+                                          - jnp.sum(jnp.diagonal(AAT)))
+            return bound
+
+    def conditional_ND(self, Xnew, full_cov=False):
+        cm = self._common()
+        L, LB, c = cm["L"], cm["LB"], cm["c"]
+        Kus = self.kern.K(self.Z.value, Xnew)
+        tmp1 = tri_solve(L, Kus, lower=True)
+        tmp2 = tri_solve(LB, tmp1, lower=True)
+        mean = tmp2.T @ c
+        D_Y = self._Y.shape[1]
+        if full_cov:
+            var = self.kern.K(Xnew) + tmp2.T @ tmp2 - tmp1.T @ tmp1
+            var = jnp.repeat(var[:, :, None], D_Y, axis=2)
+        else:
+            var = (self.kern.Kdiag(Xnew) + jnp.sum(tmp2 ** 2, axis=0)
+                   - jnp.sum(tmp1 ** 2, axis=0))
+            var = jnp.repeat(var[:, None], D_Y, axis=1)
+        return mean + self.mean_function(Xnew), var

@@ -1,0 +1,147 @@
+"""Model zoo: collapsed-final-layer DGP and the Heinonen non-stationary
+2-layer model, plus a heteroscedastic-noise DGP variant.
+
+Rebuilds /root/reference/doubly_stochastic_dgp/model_zoo.py:
+  - DGPCollapsed (model_zoo.py:25-57): the final layer is analytically
+    integrated out; inner layers propagate the *training* inputs with
+    S=1 and the last inner conditional's mean/variance feed the collapsed
+    bound (the uncertain-input Titsias/GPLVM bound — psi statistics).
+  - DGPHeinonen (model_zoo.py:60-88): dense 2-layer HMC model whose inner
+    propagation is the deterministic build_latents().
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import default_float
+from ..ops.likelihoods import Gaussian
+from ..utils.modules import static_field
+from .dgp import DGPBase
+from .layers import CollapsedLayer, GPMCLayer, GPRLayer
+
+__all__ = ["DGPCollapsed", "DGPHeinonen", "DGPHeteroscedastic"]
+
+
+class DGPCollapsed(DGPBase):
+    """DGP whose final layer is analytically collapsed
+    (reference DGP_Collapsed)."""
+
+    def inner_layers_propagate(self, X, key=None, full_cov=False, S=1,
+                               zs=None):
+        """Propagate through layers[:-1] only (reference model_zoo.py:27-44).
+        For a single-layer model, the 'inner propagation' is the identity
+        with zero variance."""
+        sX = jnp.tile(X[None, :, :], (S, 1, 1))
+        if len(self.layers) == 1:
+            return [sX], [sX], [jnp.zeros_like(sX)]
+        Fs, Fmeans, Fvars = [], [], []
+        F = sX
+        if zs is None:
+            zs = [None] * len(self.layers)
+        keys = (jax.random.split(key, len(self.layers))
+                if key is not None else [None] * len(self.layers))
+        for layer, z, k in zip(self.layers[:-1], zs[:-1], keys):
+            F, Fmean, Fvar = layer.sample_from_conditional(
+                F, z=z, key=k, full_cov=full_cov)
+            Fs.append(F)
+            Fmeans.append(Fmean)
+            Fvars.append(Fvar)
+        return Fs, Fmeans, Fvars
+
+    def _collapsed_last_layer(self, key=None, zs=None):
+        """Inner-propagate the training data and hand the resulting
+        Gaussian inputs to the collapsed layer (reference
+        model_zoo.py:48-49,54-55)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        _, ms, vs = self.inner_layers_propagate(self.X_data, key=key,
+                                                full_cov=False, zs=zs)
+        last: CollapsedLayer = self.layers[-1]
+        return last.set_data(ms[-1][0], vs[-1][0], self.Y_data,
+                             self.likelihood.variance.value)
+
+    def propagate(self, X, key=None, full_cov=False, S=1, zs=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        last = self._collapsed_last_layer(key=k1, zs=zs)
+        model = self.replace(layers=self.layers[:-1] + [last])
+        return DGPBase.propagate(model, X, key=k2, full_cov=full_cov,
+                                 S=S, zs=zs)
+
+    def elbo(self, X=None, Y=None, key=None):
+        """Collapsed bound: last layer's analytic likelihood minus the
+        inner KLs (reference model_zoo.py:52-57).  Always uses the full
+        stored training data (no minibatching — the bound is not a sum
+        of per-datum terms)."""
+        last = self._collapsed_last_layer(key=key)
+        KL = sum((layer.KL() for layer in self.layers[:-1]),
+                 jnp.zeros((), dtype=default_float()))
+        return last.build_likelihood() - KL
+
+
+class DGPHeinonen(DGPCollapsed):
+    """Dense 2-layer non-stationary GP (Heinonen et al. 2016) for HMC
+    (reference DGP_Heinonen, model_zoo.py:60-88): the inner propagation is
+    the deterministic build_latents() of a GPMC layer; the final layer is
+    exact GPR.  Gaussian likelihood, no minibatching."""
+
+    @classmethod
+    def make(cls, X, Y, likelihood, layers, **kwargs):
+        assert len(layers) == 2
+        assert isinstance(likelihood, Gaussian)
+        assert isinstance(layers[0], GPMCLayer)
+        assert isinstance(layers[1], GPRLayer)
+        return super(DGPHeinonen, cls).make(X, Y, likelihood, layers,
+                                            **kwargs)
+
+    def inner_layers_propagate(self, X, key=None, full_cov=False, S=1,
+                               zs=None):
+        f = self.layers[0].build_latents()[None, :, :]
+        return [f], [f], [jnp.zeros_like(f)]
+
+    def log_posterior(self, key=None):
+        """HMC target: collapsed marginal likelihood + parameter priors
+        (the role of the q_mu Gaussian priors at reference
+        layers.py:272)."""
+        from ..utils.modules import log_prior
+        return self.elbo(key=key) + log_prior(self.layers)
+
+
+class DGPHeteroscedastic(DGPBase):
+    """Heteroscedastic-noise DGP: the final layer emits 2*D_Y outputs,
+    interpreted as (mean, log-variance) pairs; the likelihood is a
+    per-point Gaussian with variance softplus-linked to the second half.
+
+    This is the 'heteroscedastic-noise variant' called for by
+    BASELINE.json config #5 (no reference implementation exists — the
+    natural DGP extension, kept consistent with the MC bound of
+    reference dgp.py:83-98).
+    """
+
+    min_noise: float = static_field(default=1e-6)
+
+    def E_log_p_Y(self, X, Y, key):
+        Fmean, Fvar = self._predict(X, key=key, full_cov=False,
+                                    S=self.num_samples)
+        D = Y.shape[-1]
+        m_f, m_g = Fmean[..., :D], Fmean[..., D:]
+        v_f, v_g = Fvar[..., :D], Fvar[..., D:]
+        # E_{f,g}[ log N(y; f, softplus(g)) ] with a 2nd-order treatment of
+        # the noise head: evaluate at the mean of g (delta approximation)
+        # and keep the exact Gaussian expectation over f.
+        noise = jax.nn.softplus(m_g) + self.min_noise
+        var_exp = (-0.5 * jnp.log(2 * jnp.pi * noise)
+                   - 0.5 * ((Y - m_f) ** 2 + v_f) / noise)
+        return jnp.mean(var_exp, axis=0)
+
+    def predict_y(self, Xnew, S, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        Fmean, Fvar = self._predict(Xnew, key=key, full_cov=False, S=S)
+        D = Fmean.shape[-1] // 2
+        m_f, m_g = Fmean[..., :D], Fmean[..., D:]
+        v_f = Fvar[..., :D]
+        noise = jax.nn.softplus(m_g) + self.min_noise
+        return m_f, v_f + noise

@@ -1,0 +1,424 @@
+"""Likelihoods: Gaussian, Bernoulli, MultiClass (robust-max), Poisson,
+Exponential, StudentT, Gamma, Beta, Ordinal.
+
+Rebuilds the GPflow likelihood surface the reference depends on
+(SURVEY §2.3): methods ``variational_expectations``, ``logp``,
+``conditional_mean``, ``conditional_variance``, ``predict_mean_and_var``,
+``predict_density`` — exactly the set exposed through the reference's
+``BroadcastingLikelihood`` (/root/reference/doubly_stochastic_dgp/utils.py:88-121).
+
+The S-sample broadcasting wrapper is unnecessary here: every method is
+written with numpy-style broadcasting over arbitrary leading batch dims,
+so (S, N, D) means/variances against (N, D) targets "just work" —
+JAX/XLA fuses the whole thing.  Non-closed-form expectations use
+Gauss-Hermite quadrature (default 20 points, matching GPflow).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import gammaln, logsumexp
+
+from ..config import default_float
+from ..utils.modules import Module, Param, static_field
+from .quadrature import hermgauss, ndiagquad
+
+__all__ = [
+    "Likelihood", "Gaussian", "Bernoulli", "MultiClass", "Poisson",
+    "Exponential", "StudentT", "Gamma", "Beta", "Ordinal",
+]
+
+DEFAULT_NUM_GH = 20
+
+
+def _inv_probit(x):
+    jitter = 1e-3  # keeps the output strictly inside (0, 1), as in GPflow
+    return 0.5 * (1.0 + jax.lax.erf(x / np.sqrt(2.0))) * (1 - 2 * jitter) + jitter
+
+
+class Likelihood(Module):
+    """Base likelihood with quadrature defaults.
+
+    All array args broadcast: Fmu/Fvar may be (N, D) or (S, N, D); Y is
+    (N, D).
+    """
+
+    num_gauss_hermite_points: int = static_field(default=DEFAULT_NUM_GH)
+
+    # --- to be provided by subclasses -------------------------------------
+    def logp(self, F, Y):
+        raise NotImplementedError
+
+    def conditional_mean(self, F):
+        raise NotImplementedError
+
+    def conditional_variance(self, F):
+        raise NotImplementedError
+
+    # --- quadrature defaults ----------------------------------------------
+    def variational_expectations(self, Fmu, Fvar, Y):
+        """E_{N(f; Fmu, Fvar)}[ log p(Y | f) ], elementwise."""
+        return ndiagquad(lambda X, Y: self.logp(X, Y),
+                         self.num_gauss_hermite_points, Fmu, Fvar, Y=Y)
+
+    def predict_mean_and_var(self, Fmu, Fvar):
+        """Mean/variance of Y under the predictive: integrates the
+        conditional moments over N(f; Fmu, Fvar)."""
+        integrands = [
+            lambda X: self.conditional_mean(X),
+            lambda X: self.conditional_variance(X) + self.conditional_mean(X) ** 2,
+        ]
+        E_y, E_y2 = ndiagquad(integrands, self.num_gauss_hermite_points,
+                              Fmu, Fvar)
+        return E_y, E_y2 - E_y ** 2
+
+    def predict_density(self, Fmu, Fvar, Y):
+        """log E_{N(f; Fmu, Fvar)}[ p(Y | f) ], elementwise."""
+        return ndiagquad(lambda X, Y: self.logp(X, Y),
+                         self.num_gauss_hermite_points, Fmu, Fvar,
+                         logspace=True, Y=Y)
+
+
+class Gaussian(Likelihood):
+    """Closed-form Gaussian likelihood (reference: gpflow Gaussian; the
+    dominant likelihood in the demos/benchmarks)."""
+
+    variance: Param = None
+    num_gauss_hermite_points: int = static_field(default=DEFAULT_NUM_GH)
+
+    @classmethod
+    def make(cls, variance=1.0, trainable=True):
+        return cls(variance=Param.positive(variance, trainable=trainable))
+
+    def logp(self, F, Y):
+        v = self.variance.value
+        return -0.5 * jnp.log(2 * jnp.pi * v) - 0.5 * (Y - F) ** 2 / v
+
+    def conditional_mean(self, F):
+        return F
+
+    def conditional_variance(self, F):
+        return jnp.full_like(F, 1.0) * self.variance.value
+
+    def variational_expectations(self, Fmu, Fvar, Y):
+        v = self.variance.value
+        return (-0.5 * jnp.log(2 * jnp.pi) - 0.5 * jnp.log(v)
+                - 0.5 * ((Y - Fmu) ** 2 + Fvar) / v)
+
+    def predict_mean_and_var(self, Fmu, Fvar):
+        return Fmu, Fvar + self.variance.value
+
+    def predict_density(self, Fmu, Fvar, Y):
+        v = Fvar + self.variance.value
+        return -0.5 * jnp.log(2 * jnp.pi * v) - 0.5 * (Y - Fmu) ** 2 / v
+
+
+class Bernoulli(Likelihood):
+    """Bernoulli with probit link.  Y == 1 is success; anything else
+    (0 or -1, both used by the reference tests) is failure."""
+
+    num_gauss_hermite_points: int = static_field(default=DEFAULT_NUM_GH)
+
+    @classmethod
+    def make(cls):
+        return cls()
+
+    @staticmethod
+    def _bernoulli(p, Y):
+        return jnp.where(Y == 1, p, 1.0 - p)
+
+    def logp(self, F, Y):
+        return jnp.log(self._bernoulli(_inv_probit(F), Y))
+
+    def conditional_mean(self, F):
+        return _inv_probit(F)
+
+    def conditional_variance(self, F):
+        p = _inv_probit(F)
+        return p - p ** 2
+
+    def predict_mean_and_var(self, Fmu, Fvar):
+        # closed form for the probit link
+        p = _inv_probit(Fmu / jnp.sqrt(1.0 + Fvar))
+        return p, p - p ** 2
+
+    def predict_density(self, Fmu, Fvar, Y):
+        p = _inv_probit(Fmu / jnp.sqrt(1.0 + Fvar))
+        return jnp.log(self._bernoulli(p, Y))
+
+
+class MultiClass(Likelihood):
+    """Multiclass classification with the robust-max link.
+
+    p(y = k | f) = 1 - eps            if k == argmax(f)
+                 = eps / (K - 1)      otherwise
+
+    F is (..., N, K); Y is (N, 1) integer labels.  Variational
+    expectations and predictive probabilities need the probability that
+    dimension k is the largest under independent Gaussians — computed
+    with 1D Gauss-Hermite quadrature over the selected dimension times a
+    product of normal CDFs (the GPflow RobustMax construction; required
+    for the MNIST benchmark, SURVEY §2.3, §6).
+    """
+
+    num_classes: int = static_field(default=2)
+    epsilon: float = static_field(default=1e-3)
+    num_gauss_hermite_points: int = static_field(default=DEFAULT_NUM_GH)
+
+    @classmethod
+    def make(cls, num_classes, epsilon=1e-3):
+        return cls(num_classes=num_classes, epsilon=epsilon)
+
+    # -- robust-max link ----------------------------------------------------
+    def _rm_probs(self, F):
+        """(1-eps) at argmax, eps/(K-1) elsewhere; F (..., K)."""
+        K = self.num_classes
+        i = jnp.argmax(F, axis=-1)
+        oh = jax.nn.one_hot(i, K, dtype=F.dtype)
+        return oh * (1.0 - self.epsilon) + (1.0 - oh) * (self.epsilon / (K - 1))
+
+    def _prob_is_largest(self, Y, Fmu, Fvar):
+        """P[f_y >= f_j for all j] under independent N(Fmu, Fvar).
+
+        Fmu/Fvar: (..., N, K); Y: (N, 1) ints.  Returns (..., N, 1).
+        """
+        H = self.num_gauss_hermite_points
+        gh_x, gh_w = hermgauss(H)
+        dtype = jnp.result_type(Fmu, default_float())
+        gh_x = jnp.asarray(gh_x, dtype=dtype)
+        gh_w = jnp.asarray(gh_w / np.sqrt(np.pi), dtype=dtype)
+
+        Yidx = Y[..., 0].astype(jnp.int32)                     # (N,)
+        oh = jax.nn.one_hot(Yidx, self.num_classes, dtype=dtype)  # (N, K)
+        # selected mean/var: (..., N, 1)
+        mu_sel = jnp.sum(Fmu * oh, axis=-1, keepdims=True)
+        var_sel = jnp.sum(Fvar * oh, axis=-1, keepdims=True)
+        # quadrature locations for the selected latent: (..., N, H)
+        X = mu_sel + jnp.sqrt(2.0 * var_sel) * gh_x
+        # CDF of every other latent at X: (..., N, K, H)
+        dist = (X[..., None, :] - Fmu[..., None]) / jnp.sqrt(
+            jnp.maximum(Fvar[..., None], 1e-10))
+        cdfs = 0.5 * (1.0 + jax.lax.erf(dist / np.sqrt(2.0)))
+        cdfs = cdfs * (1 - 2e-4) + 1e-4
+        # drop the selected dimension from the product
+        cdfs = cdfs * (1.0 - oh[..., None]) + oh[..., None]
+        p = jnp.sum(jnp.prod(cdfs, axis=-2) * gh_w, axis=-1)   # (..., N)
+        return p[..., None]
+
+    # -- API -----------------------------------------------------------------
+    def logp(self, F, Y):
+        Yidx = Y[..., 0].astype(jnp.int32)
+        hits = jnp.argmax(F, axis=-1) == Yidx
+        yes = jnp.asarray(1.0 - self.epsilon, dtype=F.dtype)
+        no = jnp.asarray(self.epsilon / (self.num_classes - 1), dtype=F.dtype)
+        return jnp.log(jnp.where(hits, yes, no))[..., None]
+
+    def conditional_mean(self, F):
+        return self._rm_probs(F)
+
+    def conditional_variance(self, F):
+        p = self._rm_probs(F)
+        return p - p ** 2
+
+    def variational_expectations(self, Fmu, Fvar, Y):
+        p = self._prob_is_largest(Y, Fmu, Fvar)
+        K = self.num_classes
+        return (p * jnp.log(1.0 - self.epsilon)
+                + (1.0 - p) * jnp.log(self.epsilon / (K - 1)))
+
+    def predict_mean_and_var(self, Fmu, Fvar):
+        possible = jnp.arange(self.num_classes)[:, None]       # (K, 1)
+        ps = [self._prob_is_largest(possible[k:k + 1].repeat(Fmu.shape[-2], 0),
+                                    Fmu, Fvar)
+              for k in range(self.num_classes)]
+        p = jnp.concatenate(ps, axis=-1)                       # (..., N, K)
+        K = self.num_classes
+        mu = p * (1.0 - self.epsilon) + (1.0 - p) * (self.epsilon / (K - 1))
+        return mu, mu - mu ** 2
+
+    def predict_density(self, Fmu, Fvar, Y):
+        p = self._prob_is_largest(Y, Fmu, Fvar)
+        K = self.num_classes
+        den = p * (1.0 - self.epsilon) + (1.0 - p) * (self.epsilon / (K - 1))
+        return jnp.log(den)
+
+
+class Poisson(Likelihood):
+    """Poisson with exp link; closed-form variational expectations."""
+
+    binsize: float = static_field(default=1.0)
+    num_gauss_hermite_points: int = static_field(default=DEFAULT_NUM_GH)
+
+    @classmethod
+    def make(cls, binsize=1.0):
+        return cls(binsize=binsize)
+
+    def logp(self, F, Y):
+        lam = jnp.exp(F) * self.binsize
+        return Y * jnp.log(lam) - lam - gammaln(Y + 1.0)
+
+    def conditional_mean(self, F):
+        return jnp.exp(F) * self.binsize
+
+    def conditional_variance(self, F):
+        return jnp.exp(F) * self.binsize
+
+    def variational_expectations(self, Fmu, Fvar, Y):
+        return (Y * Fmu - jnp.exp(Fmu + Fvar / 2.0) * self.binsize
+                - gammaln(Y + 1.0) + Y * jnp.log(self.binsize))
+
+
+class Exponential(Likelihood):
+    """Exponential with exp link: p(y|f) = exp(-y e^{-f} - f)."""
+
+    num_gauss_hermite_points: int = static_field(default=DEFAULT_NUM_GH)
+
+    @classmethod
+    def make(cls):
+        return cls()
+
+    def logp(self, F, Y):
+        return -F - Y * jnp.exp(-F)
+
+    def conditional_mean(self, F):
+        return jnp.exp(F)
+
+    def conditional_variance(self, F):
+        return jnp.exp(2.0 * F)
+
+    def variational_expectations(self, Fmu, Fvar, Y):
+        return -Fmu - Y * jnp.exp(-Fmu + Fvar / 2.0)
+
+
+class StudentT(Likelihood):
+    """Student-t observation noise with identity link."""
+
+    scale: Param = None
+    df: float = static_field(default=3.0)
+    num_gauss_hermite_points: int = static_field(default=DEFAULT_NUM_GH)
+
+    @classmethod
+    def make(cls, scale=1.0, df=3.0, trainable=True):
+        return cls(scale=Param.positive(scale, trainable=trainable), df=df)
+
+    def logp(self, F, Y):
+        nu = self.df
+        s = self.scale.value
+        const = (gammaln((nu + 1.0) / 2.0) - gammaln(nu / 2.0)
+                 - 0.5 * jnp.log(nu * jnp.pi * s ** 2))
+        return const - (nu + 1.0) / 2.0 * jnp.log1p(((Y - F) / s) ** 2 / nu)
+
+    def conditional_mean(self, F):
+        return F
+
+    def conditional_variance(self, F):
+        nu = self.df
+        var = self.scale.value ** 2 * nu / (nu - 2.0)
+        return jnp.full_like(F, 1.0) * var
+
+
+class Gamma(Likelihood):
+    """Gamma with exp link on the scale: y ~ Gamma(shape, scale=e^f)."""
+
+    shape_param: Param = None
+    num_gauss_hermite_points: int = static_field(default=DEFAULT_NUM_GH)
+
+    @classmethod
+    def make(cls, shape=1.0, trainable=True):
+        return cls(shape_param=Param.positive(shape, trainable=trainable))
+
+    def logp(self, F, Y):
+        a = self.shape_param.value
+        return (-a * F - gammaln(a) + (a - 1.0) * jnp.log(Y)
+                - Y * jnp.exp(-F))
+
+    def conditional_mean(self, F):
+        return self.shape_param.value * jnp.exp(F)
+
+    def conditional_variance(self, F):
+        return self.shape_param.value * jnp.exp(2.0 * F)
+
+    def variational_expectations(self, Fmu, Fvar, Y):
+        a = self.shape_param.value
+        return (-a * Fmu - gammaln(a) + (a - 1.0) * jnp.log(Y)
+                - Y * jnp.exp(-Fmu + Fvar / 2.0))
+
+
+class Beta(Likelihood):
+    """Beta likelihood with probit mean link and a scale parameter:
+    alpha = m * scale, beta = (1 - m) * scale, m = probit(f)."""
+
+    scale: Param = None
+    num_gauss_hermite_points: int = static_field(default=DEFAULT_NUM_GH)
+
+    @classmethod
+    def make(cls, scale=1.0, trainable=True):
+        return cls(scale=Param.positive(scale, trainable=trainable))
+
+    def logp(self, F, Y):
+        m = _inv_probit(F)
+        s = self.scale.value
+        alpha = m * s
+        beta = s - alpha
+        return ((alpha - 1.0) * jnp.log(Y) + (beta - 1.0) * jnp.log1p(-Y)
+                + gammaln(alpha + beta) - gammaln(alpha) - gammaln(beta))
+
+    def conditional_mean(self, F):
+        return _inv_probit(F)
+
+    def conditional_variance(self, F):
+        m = _inv_probit(F)
+        return m * (1.0 - m) / (self.scale.value + 1.0)
+
+
+class Ordinal(Likelihood):
+    """Ordinal regression with fixed bin edges and a unit-scale latent:
+    p(Y = k | f) = Phi(a_k - f) - Phi(a_{k-1} - f)."""
+
+    bin_edges: Any = None
+    num_gauss_hermite_points: int = static_field(default=DEFAULT_NUM_GH)
+
+    @classmethod
+    def make(cls, bin_edges):
+        return cls(bin_edges=jnp.asarray(bin_edges, dtype=default_float()))
+
+    @property
+    def num_bins(self):
+        return self.bin_edges.shape[0] + 1
+
+    def _cum_probs(self, F):
+        """P(Y <= k | f) for each bin boundary; returns (..., K+1) with
+        leading 0 boundary handled by padding with 0 and 1."""
+        edges = self.bin_edges
+        # (..., 1) broadcast against (E,)
+        cdf = _inv_probit(edges - F[..., None])                # (..., E)
+        lo = jnp.zeros_like(cdf[..., :1])
+        hi = jnp.ones_like(cdf[..., :1])
+        return jnp.concatenate([lo, cdf, hi], axis=-1)         # (..., E+2)
+
+    def logp(self, F, Y):
+        cum = self._cum_probs(F)                               # (..., E+2)
+        k = jnp.broadcast_to(Y, jnp.broadcast_shapes(F.shape, Y.shape))
+        k = k.astype(jnp.int32)
+        upper = jnp.take_along_axis(cum, k[..., None] + 1, axis=-1)[..., 0]
+        lower = jnp.take_along_axis(cum, k[..., None], axis=-1)[..., 0]
+        return jnp.log(jnp.maximum(upper - lower, 1e-10))
+
+    def _all_probs(self, F):
+        cum = self._cum_probs(F)
+        return cum[..., 1:] - cum[..., :-1]                    # (..., K)
+
+    def conditional_mean(self, F):
+        p = self._all_probs(F)
+        ks = jnp.arange(self.num_bins, dtype=F.dtype)
+        return jnp.sum(p * ks, axis=-1)
+
+    def conditional_variance(self, F):
+        p = self._all_probs(F)
+        ks = jnp.arange(self.num_bins, dtype=F.dtype)
+        m = jnp.sum(p * ks, axis=-1)
+        return jnp.sum(p * ks ** 2, axis=-1) - m ** 2

@@ -1,0 +1,277 @@
+"""Pytree-based parameter/module system.
+
+This is the TPU-native replacement for the GPflow 1.x parameter machinery
+the reference is built on: ``Parameter``/``Parameterized``/``ParamList``
+(/root/reference/doubly_stochastic_dgp/layers.py:18,147,151, dgp.py:59),
+the ``transforms.LowerTriangular`` / positive transforms
+(layers.py:150), per-parameter ``set_trainable``
+(layer_initializations.py:42) and parameter priors (layers.py:255,272).
+
+Design: every model object is an immutable dataclass registered as a JAX
+pytree.  Array-valued fields are pytree children (traced/differentiated);
+fields declared with ``static_field()`` are aux data (hashable, part of
+the jit cache key).  A ``Param`` wraps an *unconstrained* array together
+with a bijector name, a trainable flag and an optional prior.  The whole
+model is therefore directly jittable/grad-able: ``jax.jit(lambda m, x:
+m.elbo(x))`` — the JAX analogue of ``@params_as_tensors`` +
+``@autoflow`` in the reference (dgp.py:61,100-126).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import default_float
+
+__all__ = [
+    "Module",
+    "Param",
+    "static_field",
+    "positive",
+    "positive_inverse",
+    "trainable_mask",
+    "log_prior",
+    "tree_replace",
+]
+
+
+def static_field(**kwargs):
+    """Declare a dataclass field as pytree aux data (static under jit)."""
+    metadata = dict(kwargs.pop("metadata", {}))
+    metadata["static"] = True
+    return dataclasses.field(metadata=metadata, **kwargs)
+
+
+def _is_static(f: dataclasses.Field) -> bool:
+    return bool(f.metadata.get("static", False))
+
+
+class Module:
+    """Base class: subclasses become frozen-by-convention dataclass pytrees."""
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        dataclasses.dataclass(cls, eq=False, repr=False)
+        dyn, sta = [], []
+        for f in dataclasses.fields(cls):
+            (sta if _is_static(f) else dyn).append(f.name)
+        cls._dynamic_fields = tuple(dyn)
+        cls._static_fields = tuple(sta)
+        jax.tree_util.register_pytree_with_keys(
+            cls, cls._tree_flatten_with_keys, cls._tree_unflatten,
+            flatten_func=cls._tree_flatten,
+        )
+
+    # -- pytree protocol ---------------------------------------------------
+    def _tree_flatten(self):
+        children = tuple(getattr(self, n) for n in self._dynamic_fields)
+        aux = tuple(getattr(self, n) for n in self._static_fields)
+        return children, aux
+
+    def _tree_flatten_with_keys(self):
+        children = tuple(
+            (jax.tree_util.GetAttrKey(n), getattr(self, n))
+            for n in self._dynamic_fields
+        )
+        aux = tuple(getattr(self, n) for n in self._static_fields)
+        return children, aux
+
+    @classmethod
+    def _tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        for n, v in zip(cls._dynamic_fields, children):
+            object.__setattr__(obj, n, v)
+        for n, v in zip(cls._static_fields, aux):
+            object.__setattr__(obj, n, v)
+        return obj
+
+    # -- convenience ---------------------------------------------------------
+    def replace(self, **updates) -> "Module":
+        """Functional update: returns a copy with the given fields replaced."""
+        return dataclasses.replace(self, **updates)
+
+    def __repr__(self):
+        names = self._dynamic_fields + self._static_fields
+        parts = []
+        for n in names:
+            v = getattr(self, n)
+            if isinstance(v, (jnp.ndarray, np.ndarray)):
+                v = f"array{tuple(v.shape)}"
+            parts.append(f"{n}={v}")
+        return f"{type(self).__name__}({', '.join(parts)})"
+
+
+# ---------------------------------------------------------------------------
+# Bijectors (value-space <-> unconstrained-space maps)
+# ---------------------------------------------------------------------------
+
+_SOFTPLUS_LOWER = 1e-6  # keeps positive params bounded away from zero
+
+
+def positive(u):
+    """softplus(u) + lower bound: unconstrained -> positive."""
+    return jax.nn.softplus(u) + _SOFTPLUS_LOWER
+
+
+def positive_inverse(v):
+    """Inverse of :func:`positive` (stable for large v)."""
+    v = jnp.asarray(v, dtype=default_float()) - _SOFTPLUS_LOWER
+    # softplus^-1(v) = log(expm1(v)) = v + log1p(-exp(-v))
+    return v + jnp.log(-jnp.expm1(-v))
+
+
+def _tril(u):
+    return jnp.tril(u)
+
+
+_BIJECTORS: dict = {
+    "identity": (lambda u: u, lambda v: v),
+    "positive": (positive, positive_inverse),
+    # lower-triangular: unconstrained storage is a full matrix; forward
+    # masks the strict upper triangle (gradient flows only through the
+    # lower triangle — equivalent to the reference's packed
+    # ``transforms.LowerTriangular`` at layers.py:150).
+    "triangular": (_tril, _tril),
+}
+
+
+class Param(Module):
+    """A trainable (or frozen) constrained parameter.
+
+    ``unconstrained`` is the raw optimization variable; ``.value`` applies
+    the bijector.  ``prior`` is a static tuple like ``('gaussian', 0., 1.)``
+    contributing to :func:`log_prior` (used by the MCMC layers, reference
+    layers.py:255,272).
+    """
+
+    unconstrained: Any
+    bijector: str = static_field(default="identity")
+    trainable: bool = static_field(default=True)
+    prior: Optional[Tuple] = static_field(default=None)
+
+    @classmethod
+    def create(cls, value, bijector="identity", trainable=True, prior=None,
+               dtype=None):
+        value = jnp.asarray(value, dtype=dtype or default_float())
+        inv = _BIJECTORS[bijector][1]
+        return cls(unconstrained=inv(value), bijector=bijector,
+                   trainable=trainable, prior=prior)
+
+    @classmethod
+    def positive(cls, value, **kwargs):
+        return cls.create(value, bijector="positive", **kwargs)
+
+    @classmethod
+    def triangular(cls, value, **kwargs):
+        return cls.create(value, bijector="triangular", **kwargs)
+
+    @property
+    def value(self):
+        return _BIJECTORS[self.bijector][0](self.unconstrained)
+
+    def with_value(self, value) -> "Param":
+        inv = _BIJECTORS[self.bijector][1]
+        return self.replace(unconstrained=inv(
+            jnp.asarray(value, dtype=default_float())))
+
+    def set_trainable(self, flag: bool) -> "Param":
+        return self.replace(trainable=bool(flag))
+
+
+# ---------------------------------------------------------------------------
+# Tree utilities
+# ---------------------------------------------------------------------------
+
+def trainable_mask(tree, freeze: Optional[Callable[[tuple, Param], bool]] = None):
+    """Pytree of bools (same treedef as ``tree``): True where a leaf is the
+    unconstrained value of a trainable :class:`Param`.
+
+    Bare arrays that are not wrapped in a Param are buffers -> False.
+    ``freeze(path, param)`` may force additional Params off (used to hand
+    the natural-gradient variables to a separate optimizer, mirroring the
+    var_list split in the reference natgrad loop, SURVEY §3.5).
+    """
+
+    def rec(node, path, flag):
+        if isinstance(node, Param):
+            f = flag and node.trainable
+            if f and freeze is not None and freeze(path, node):
+                f = False
+            children, aux = node._tree_flatten()
+            mapped = tuple(rec(c, path + (n,), f)
+                           for n, c in zip(node._dynamic_fields, children))
+            return type(node)._tree_unflatten(aux, mapped)
+        if isinstance(node, Module):
+            children, aux = node._tree_flatten()
+            mapped = tuple(rec(c, path + (n,), flag)
+                           for n, c in zip(node._dynamic_fields, children))
+            return type(node)._tree_unflatten(aux, mapped)
+        if isinstance(node, (list, tuple)):
+            mapped = [rec(c, path + (i,), flag) for i, c in enumerate(node)]
+            return type(node)(mapped)
+        if isinstance(node, dict):
+            return {k: rec(v, path + (k,), flag) for k, v in node.items()}
+        if node is None:
+            return None
+        return flag
+
+    return rec(tree, (), True)
+
+
+def log_prior(tree):
+    """Sum of prior log-densities over all Params carrying a prior."""
+    total = jnp.zeros((), dtype=default_float())
+
+    def rec(node, total):
+        if isinstance(node, Param):
+            if node.prior is not None:
+                name, *args = node.prior
+                v = node.value
+                if name == "gaussian":
+                    mu, sigma = args
+                    total = total + jnp.sum(
+                        -0.5 * jnp.log(2 * jnp.pi * sigma ** 2)
+                        - 0.5 * ((v - mu) / sigma) ** 2)
+                else:  # pragma: no cover
+                    raise NotImplementedError(f"prior {name!r}")
+            return total
+        if isinstance(node, Module):
+            for c in node._tree_flatten()[0]:
+                total = rec(c, total)
+            return total
+        if isinstance(node, (list, tuple)):
+            for c in node:
+                total = rec(c, total)
+            return total
+        if isinstance(node, dict):
+            for c in node.values():
+                total = rec(c, total)
+            return total
+        return total
+
+    return rec(tree, total)
+
+
+def tree_replace(tree, path: tuple, value):
+    """Replace the node at attribute/index ``path`` with ``value``,
+    returning a new tree (functional surgery, e.g. swapping a layer's
+    q_mu/q_sqrt after a natural-gradient step)."""
+    if not path:
+        return value
+    head, rest = path[0], path[1:]
+    if isinstance(tree, Module):
+        return tree.replace(**{head: tree_replace(getattr(tree, head), rest, value)})
+    if isinstance(tree, (list, tuple)):
+        items = list(tree)
+        items[head] = tree_replace(items[head], rest, value)
+        return type(tree)(items)
+    if isinstance(tree, dict):
+        new = dict(tree)
+        new[head] = tree_replace(new[head], rest, value)
+        return new
+    raise TypeError(f"cannot descend into {type(tree)}")

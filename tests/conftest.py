@@ -1,0 +1,25 @@
+"""Test configuration: CPU backend with 8 virtual devices (for sharding
+tests) and float64 numerics (parity with the float64 reference, see
+SURVEY §7 dtype policy).  Must run before jax initializes a backend."""
+
+import os
+
+# Force the CPU backend: the container env pins JAX_PLATFORMS=axon (the
+# tunneled TPU), but parity tests need float64 + 8 virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _seed():
+    np.random.seed(0)
