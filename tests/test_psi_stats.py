@@ -1,0 +1,89 @@
+"""Psi-statistics tests: closed forms vs brute-force Gauss-Hermite
+quadrature over the input distribution (the independent oracle for the
+uncertain-input SGPR path, reference layers.py:405-450)."""
+
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose
+
+from doubly_stochastic_dgp_tpu.ops.kernels import RBF, Sum, White
+from doubly_stochastic_dgp_tpu.ops.psi_stats import psi_statistics
+
+
+def _np_rbf(x, Z, var, ls):
+    d = (x[None, :] - Z) / ls
+    return var * np.exp(-0.5 * np.sum(d ** 2, -1))
+
+
+def _quad_psi(var, ls, mu, S, Z, H=40):
+    """Brute-force psi statistics by GH quadrature over each x_n."""
+    from itertools import product
+    gh_x, gh_w = np.polynomial.hermite.hermgauss(H)
+    N, D = mu.shape
+    M = Z.shape[0]
+    psi1 = np.zeros((N, M))
+    psi2 = np.zeros((M, M))
+    # quadrature grid per dim (use product over D dims)
+    for n in range(N):
+        p1 = np.zeros(M)
+        p2 = np.zeros((M, M))
+        for idx in product(range(H), repeat=D):
+            w = np.prod([gh_w[i] for i in idx]) / np.pi ** (D / 2)
+            x = mu[n] + np.sqrt(2.0 * S[n]) * np.array(
+                [gh_x[i] for i in idx])
+            k = _np_rbf(x, Z, var, ls)
+            p1 += w * k
+            p2 += w * np.outer(k, k)
+        psi1[n] = p1
+        psi2 += p2
+    return psi1, psi2
+
+
+def test_rbf_psi_vs_quadrature():
+    np.random.seed(0)
+    N, D, M = 3, 2, 4
+    mu = np.random.randn(N, D) * 0.5
+    S = 0.05 + np.random.rand(N, D) * 0.3
+    Z = np.random.randn(M, D)
+    var, ls = 1.7, np.array([0.6, 1.1])
+
+    k = RBF.make(D, variance=var, lengthscales=ls)
+    psi0, psi1, psi2 = psi_statistics(k, jnp.asarray(mu), jnp.asarray(S),
+                                      jnp.asarray(Z))
+    q1, q2 = _quad_psi(var, ls, mu, S, Z)
+
+    assert_allclose(np.asarray(psi0), np.full(N, var), rtol=1e-12)
+    assert_allclose(np.asarray(psi1), q1, rtol=1e-6, atol=1e-8)
+    assert_allclose(np.asarray(psi2), q2, rtol=1e-6, atol=1e-8)
+
+
+def test_zero_variance_reduces_to_kernel():
+    """S -> 0: psi1 -> K(mu, Z), psi2 -> sum_n Kzx Kxz."""
+    np.random.seed(1)
+    N, D, M = 4, 2, 3
+    mu = np.random.randn(N, D)
+    S = np.zeros((N, D))
+    Z = np.random.randn(M, D)
+    k = RBF.make(D, variance=2.0, lengthscales=0.8)
+    psi0, psi1, psi2 = psi_statistics(k, jnp.asarray(mu), jnp.asarray(S),
+                                      jnp.asarray(Z))
+    K = np.asarray(k.K(jnp.asarray(mu), jnp.asarray(Z)))
+    assert_allclose(np.asarray(psi1), K, rtol=1e-10)
+    assert_allclose(np.asarray(psi2), K.T @ K, rtol=1e-10)
+
+
+def test_sum_with_white():
+    np.random.seed(2)
+    N, D, M = 3, 2, 3
+    mu = np.random.randn(N, D)
+    S = 0.1 + np.random.rand(N, D) * 0.1
+    Z = np.random.randn(M, D)
+    rbf = RBF.make(D, variance=1.5, lengthscales=0.7)
+    k = rbf + White.make(D, variance=0.01)
+    psi0, psi1, psi2 = psi_statistics(k, jnp.asarray(mu), jnp.asarray(S),
+                                      jnp.asarray(Z))
+    p0r, p1r, p2r = psi_statistics(rbf, jnp.asarray(mu), jnp.asarray(S),
+                                   jnp.asarray(Z))
+    assert_allclose(np.asarray(psi0), np.asarray(p0r) + 0.01, rtol=1e-12)
+    assert_allclose(np.asarray(psi1), np.asarray(p1r), rtol=1e-12)
+    assert_allclose(np.asarray(psi2), np.asarray(p2r), rtol=1e-12)
