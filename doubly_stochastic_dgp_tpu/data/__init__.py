@@ -1,0 +1,2 @@
+from . import datasets
+from .datasets import Datasets, SyntheticRegression, make_synthetic_regression

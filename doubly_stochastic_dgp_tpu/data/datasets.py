@@ -1,0 +1,262 @@
+"""UCI dataset registry + loaders.
+
+Rebuilds /root/reference/demos/datasets.py: nine UCI regression datasets
+with download -> CSV cache -> seeded shuffle split -> per-split
+normalization, returning X, Y, Xs, Ys and the normalization statistics.
+The split/normalization conventions are matched exactly (including the
+reference's quirk of taking the normalizing std from the *test* split,
+datasets.py:76-77) because the published RMSE/NLL numbers depend on
+them.
+
+Zero-egress environments: if the CSV cache is absent and downloading
+fails, ``get_data`` raises with instructions; ``SyntheticRegression``
+provides shape-matched synthetic data for benchmarks (throughput is
+data-independent).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+__all__ = ["Dataset", "Datasets", "SyntheticRegression",
+           "make_synthetic_regression"]
+
+_UCI_BASE = "https://archive.ics.uci.edu/ml/machine-learning-databases/"
+
+
+class Dataset:
+    name: str = ""
+    N: int = 0
+    D: int = 0
+    type: str = "regression"
+    url: str = ""
+
+    def __init__(self, data_path: str = "data/"):
+        self.data_path = data_path
+
+    def csv_file_path(self):
+        return os.path.join(self.data_path, f"{self.name}.csv")
+
+    # -- raw data -----------------------------------------------------------
+    def read_data(self) -> Dict[str, np.ndarray]:
+        import pandas
+        data = pandas.read_csv(self.csv_file_path(), header=None,
+                               delimiter=",").values
+        return {"X": data[:, :-1], "Y": data[:, -1, None]}
+
+    def download_data(self):  # pragma: no cover - needs network
+        raise NotImplementedError(
+            f"No loader for {self.name}; place a CSV (features...,target) "
+            f"at {self.csv_file_path()}")
+
+    # -- split + normalize (reference datasets.py:44-83) ---------------------
+    def get_data(self, seed: int = 0, split: int = 0, prop: float = 0.9):
+        path = self.csv_file_path()
+        if not os.path.isfile(path):
+            try:
+                self.download_data()
+            except Exception as e:
+                raise FileNotFoundError(
+                    f"Dataset {self.name!r} not cached at {path} and "
+                    f"download failed ({e}). In an offline environment, "
+                    f"pre-populate the CSV cache or use "
+                    f"SyntheticRegression.") from e
+        full_data = self.read_data()
+        d = self.split(full_data, seed, split, prop)
+        d = self.normalize(d, "X")
+        if self.type == "regression":
+            d = self.normalize(d, "Y")
+        return d
+
+    def split(self, full_data, seed, split, prop):
+        ind = np.arange(self.N)
+        rng = np.random.RandomState(seed + split)
+        rng.shuffle(ind)
+        n = int(self.N * prop)
+        return {
+            "X": full_data["X"][ind[:n], :],
+            "Xs": full_data["X"][ind[n:], :],
+            "Y": full_data["Y"][ind[:n], :],
+            "Ys": full_data["Y"][ind[n:], :],
+        }
+
+    def normalize(self, d, key):
+        m = np.average(d[key], 0)[None, :]
+        # NB: the reference normalizes by the std of the *test* split
+        # (datasets.py:76-77); reproduced for parity of reported numbers.
+        s = np.std(d[key + "s"], 0)[None, :] + 1e-6
+        d[key] = (d[key] - m) / s
+        d[key + "s"] = (d[key + "s"] - m) / s
+        d[key + "_mean"] = m.flatten()
+        d[key + "_std"] = s.flatten()
+        return d
+
+
+def _simple_uci(name, N, D, url):
+    """Datasets whose raw file is directly a delimited table with the
+    target in the last column after column selection."""
+
+    class _D(Dataset):
+        pass
+
+    _D.__name__ = name.capitalize()
+    _D.name, _D.N, _D.D, _D.url = name, N, D, url
+    return _D
+
+
+class Boston(Dataset):
+    name, N, D = "boston", 506, 12
+    url = _UCI_BASE + "housing/housing.data"
+
+    def download_data(self):  # pragma: no cover
+        import pandas
+        data = pandas.read_fwf(self.url, header=None).values
+        os.makedirs(self.data_path, exist_ok=True)
+        np.savetxt(self.csv_file_path(), data, delimiter=",")
+
+
+class Concrete(Dataset):
+    name, N, D = "concrete", 1030, 8
+    url = _UCI_BASE + "concrete/compressive/Concrete_Data.xls"
+
+    def download_data(self):  # pragma: no cover
+        import pandas
+        data = pandas.read_excel(self.url).values
+        os.makedirs(self.data_path, exist_ok=True)
+        np.savetxt(self.csv_file_path(), data, delimiter=",")
+
+
+class Energy(Dataset):
+    name, N, D = "energy", 768, 8
+    url = _UCI_BASE + "00242/ENB2012_data.xlsx"
+
+    def download_data(self):  # pragma: no cover
+        import pandas
+        data = pandas.read_excel(self.url).values[:, :-1]
+        os.makedirs(self.data_path, exist_ok=True)
+        np.savetxt(self.csv_file_path(), data, delimiter=",")
+
+
+class Kin8nm(Dataset):
+    name, N, D = "kin8nm", 8192, 8
+    url = "https://www.openml.org/data/get_csv/3626/dataset_2175_kin8nm.arff"
+
+    def download_data(self):  # pragma: no cover
+        import pandas
+        data = pandas.read_csv(self.url, header=0).values
+        os.makedirs(self.data_path, exist_ok=True)
+        np.savetxt(self.csv_file_path(), data, delimiter=",")
+
+
+class Naval(Dataset):
+    name, N, D = "naval", 11934, 12
+    url = _UCI_BASE + "00316/UCI%20CBM%20Dataset.zip"
+
+    def download_data(self):  # pragma: no cover
+        from io import BytesIO
+        from urllib.request import urlopen
+        from zipfile import ZipFile
+        import pandas
+        with ZipFile(BytesIO(urlopen(self.url).read())) as zf:
+            with zf.open("UCI CBM Dataset/data.txt") as f:
+                data = pandas.read_fwf(f, header=None).values
+        data = np.concatenate([data[:, :-2], data[:, -2, None]], 1)
+        os.makedirs(self.data_path, exist_ok=True)
+        np.savetxt(self.csv_file_path(), data, delimiter=",")
+
+
+class Power(Dataset):
+    name, N, D = "power", 9568, 4
+    url = _UCI_BASE + "00294/CCPP.zip"
+
+    def download_data(self):  # pragma: no cover
+        from io import BytesIO
+        from urllib.request import urlopen
+        from zipfile import ZipFile
+        import pandas
+        with ZipFile(BytesIO(urlopen(self.url).read())) as zf:
+            with zf.open("CCPP/Folds5x2_pp.xlsx") as f:
+                data = pandas.read_excel(f).values
+        os.makedirs(self.data_path, exist_ok=True)
+        np.savetxt(self.csv_file_path(), data, delimiter=",")
+
+
+class Protein(Dataset):
+    name, N, D = "protein", 45730, 9
+    url = _UCI_BASE + "00265/CASP.csv"
+
+    def download_data(self):  # pragma: no cover
+        import pandas
+        data = pandas.read_csv(self.url).values
+        # target (RMSD) is the first column in the raw file
+        data = np.concatenate([data[:, 1:], data[:, 0, None]], 1)
+        os.makedirs(self.data_path, exist_ok=True)
+        np.savetxt(self.csv_file_path(), data, delimiter=",")
+
+
+class WineRed(Dataset):
+    name, N, D = "wine_red", 1599, 11
+    url = _UCI_BASE + "wine-quality/winequality-red.csv"
+
+    def download_data(self):  # pragma: no cover
+        import pandas
+        data = pandas.read_csv(self.url, delimiter=";").values
+        os.makedirs(self.data_path, exist_ok=True)
+        np.savetxt(self.csv_file_path(), data, delimiter=",")
+
+
+class WineWhite(Dataset):
+    name, N, D = "wine_white", 4898, 11
+    url = _UCI_BASE + "wine-quality/winequality-white.csv"
+
+    def download_data(self):  # pragma: no cover
+        import pandas
+        data = pandas.read_csv(self.url, delimiter=";").values
+        os.makedirs(self.data_path, exist_ok=True)
+        np.savetxt(self.csv_file_path(), data, delimiter=",")
+
+
+class SyntheticRegression(Dataset):
+    """Shape-matched synthetic regression data (offline benchmarking).
+
+    Draws X uniform and Y from a smooth random function + noise; the
+    compute profile (N, D) matches the named dataset."""
+
+    type = "regression"
+
+    def __init__(self, name="kin8nm_synth", N=8192, D=8, data_path="data/",
+                 seed=0):
+        super().__init__(data_path)
+        self.name, self.N, self.D, self._seed = name, N, D, seed
+
+    def read_data(self):
+        rng = np.random.RandomState(self._seed)
+        X = rng.uniform(size=(self.N, self.D))
+        w1 = rng.randn(self.D, 32)
+        w2 = rng.randn(32, 1)
+        Y = np.tanh(X @ w1) @ w2 + rng.randn(self.N, 1) * 0.1
+        return {"X": X, "Y": Y}
+
+    def get_data(self, seed=0, split=0, prop=0.9):
+        d = self.split(self.read_data(), seed, split, prop)
+        d = self.normalize(d, "X")
+        d = self.normalize(d, "Y")
+        return d
+
+
+def make_synthetic_regression(N=8192, D=8, seed=0, data_path="data/"):
+    return SyntheticRegression(N=N, D=D, seed=seed, data_path=data_path)
+
+
+class Datasets:
+    """Registry (reference datasets.py:230-250)."""
+
+    def __init__(self, data_path: str = "data/"):
+        self.all_datasets: Dict[str, Dataset] = {}
+        for cls in [Boston, Concrete, Energy, Kin8nm, Naval, Power,
+                    Protein, WineRed, WineWhite]:
+            ds = cls(data_path=data_path)
+            self.all_datasets[ds.name] = ds

@@ -1,0 +1,3 @@
+from . import dp, mesh
+from .dp import dp_elbo, dp_predict_y, make_dp_train_step
+from .mesh import make_mesh, pad_to_multiple, replicate, shard_along

@@ -197,30 +197,33 @@ def trainable_mask(tree, freeze: Optional[Callable[[tuple, Param], bool]] = None
     var_list split in the reference natgrad loop, SURVEY §3.5).
     """
 
-    def rec(node, path, flag):
+    def rec(node, path, flag, in_param):
         if isinstance(node, Param):
             f = flag and node.trainable
             if f and freeze is not None and freeze(path, node):
                 f = False
             children, aux = node._tree_flatten()
-            mapped = tuple(rec(c, path + (n,), f)
+            mapped = tuple(rec(c, path + (n,), f, True)
                            for n, c in zip(node._dynamic_fields, children))
             return type(node)._tree_unflatten(aux, mapped)
         if isinstance(node, Module):
             children, aux = node._tree_flatten()
-            mapped = tuple(rec(c, path + (n,), flag)
+            mapped = tuple(rec(c, path + (n,), flag, in_param)
                            for n, c in zip(node._dynamic_fields, children))
             return type(node)._tree_unflatten(aux, mapped)
         if isinstance(node, (list, tuple)):
-            mapped = [rec(c, path + (i,), flag) for i, c in enumerate(node)]
+            mapped = [rec(c, path + (i,), flag, in_param)
+                      for i, c in enumerate(node)]
             return type(node)(mapped)
         if isinstance(node, dict):
-            return {k: rec(v, path + (k,), flag) for k, v in node.items()}
+            return {k: rec(v, path + (k,), flag, in_param)
+                    for k, v in node.items()}
         if node is None:
             return None
-        return flag
+        # bare array leaves outside any Param are buffers -> frozen
+        return flag and in_param
 
-    return rec(tree, (), True)
+    return rec(tree, (), True, False)
 
 
 def log_prior(tree):

@@ -1,0 +1,158 @@
+"""Training-harness tests: SGD/minibatch fit, alternating natgrad+Adam,
+L-BFGS, checkpoint roundtrip, HMC, and the regression metrics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from numpy.testing import assert_allclose
+
+from doubly_stochastic_dgp_tpu import (DGP, Gaussian, Module, Param, RBF,
+                                       White)
+from doubly_stochastic_dgp_tpu.training.checkpoint import (restore_checkpoint,
+                                                           save_checkpoint)
+from doubly_stochastic_dgp_tpu.training.hmc import hmc_sample
+from doubly_stochastic_dgp_tpu.training.loop import (evaluate_regression,
+                                                     fit,
+                                                     make_sgd_train_step)
+from doubly_stochastic_dgp_tpu.training.optim import (lbfgs_minimize,
+                                                      masked_optimizer)
+from doubly_stochastic_dgp_tpu.utils.modules import trainable_mask
+
+
+def _step_data(N=40):
+    rng = np.random.RandomState(0)
+    X = rng.uniform(-1, 1, (N, 1))
+    Y = (X > 0).astype(float) + rng.randn(N, 1) * 0.02
+    return X, Y
+
+
+def _model(X, Y, M=10, L=2, S=3):
+    Z = np.linspace(-1, 1, M)[:, None]
+    kerns = [RBF.make(1, lengthscales=0.5) for _ in range(L)]
+    return DGP.build(X, Y, Z, kerns, Gaussian.make(0.05), num_samples=S)
+
+
+def test_fit_adam_decreases_loss():
+    X, Y = _step_data()
+    m = _model(X, Y)
+    m2, hist = fit(m, iterations=120, learning_rate=0.02, log_every=20)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_fit_minibatch():
+    X, Y = _step_data(64)
+    m = _model(X, Y)
+    m2, hist = fit(m, iterations=100, learning_rate=0.02, batch_size=16,
+                   log_every=20)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_fit_natgrad_adam():
+    X, Y = _step_data()
+    m = _model(X, Y)
+    m2, hist = fit(m, iterations=60, learning_rate=0.01,
+                   natgrad_gamma=0.1, log_every=10)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    # natgrad layer's q params moved
+    assert not np.allclose(np.asarray(m2.layers[-1].q_mu.value),
+                           np.asarray(m.layers[-1].q_mu.value))
+
+
+def test_frozen_params_do_not_move():
+    X, Y = _step_data()
+    m = _model(X, Y)
+    # Linear mean functions created by init are frozen; likewise make the
+    # likelihood variance frozen and check it stays put under fit
+    lik = Gaussian.make(0.05, trainable=False)
+    m = m.replace(likelihood=lik)
+    before = float(m.likelihood.variance.value)
+    m2, _ = fit(m, iterations=30, learning_rate=0.05, log_every=10)
+    assert_allclose(float(m2.likelihood.variance.value), before, rtol=0)
+
+
+def test_lbfgs_improves():
+    X, Y = _step_data(20)
+    m = _model(X, Y, M=6, L=1, S=1)
+    zs = [jnp.zeros((1, 1, l.num_outputs)) for l in m.layers]
+
+    def loss(mm):
+        _, Fm, Fv = mm.propagate(mm.X_data, zs=zs, S=1)
+        ve = mm.likelihood.variational_expectations(Fm[-1], Fv[-1],
+                                                    mm.Y_data)
+        KL = sum((l.KL() for l in mm.layers), jnp.zeros((), ve.dtype))
+        return -(jnp.sum(jnp.mean(ve, 0)) - KL)
+
+    l0 = float(loss(m))
+    m2, l1 = lbfgs_minimize(loss, m, max_iters=60)
+    assert l1 < l0 - 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    X, Y = _step_data()
+    m = _model(X, Y)
+    tx = masked_optimizer(optax.adam(0.01), m)
+    opt_state = tx.init(m)
+    step = make_sgd_train_step(tx)
+    for i in range(5):
+        m, opt_state, loss = step(m, opt_state, jax.random.PRNGKey(i))
+
+    save_checkpoint(str(tmp_path), (m, opt_state), step=5)
+    (m_r, opt_r), s = restore_checkpoint(str(tmp_path), (m, opt_state))
+    assert s == 5
+    for a, b in zip(jax.tree_util.tree_leaves(m),
+                    jax.tree_util.tree_leaves(m_r)):
+        assert_allclose(np.asarray(a), np.asarray(b))
+    # training continues identically from the restored state
+    m1, o1, l1 = step(m, opt_state, jax.random.PRNGKey(99))
+    m2, o2, l2 = step(m_r, opt_r, jax.random.PRNGKey(99))
+    assert_allclose(float(l1), float(l2), rtol=1e-12)
+
+
+def test_evaluate_regression_metrics():
+    X, Y = _step_data()
+    m = _model(X, Y)
+    res = evaluate_regression(m, X, Y, Y_std=np.array([1.0]), S=8,
+                              batch_size=16)
+    assert np.isfinite(res["rmse"]) and np.isfinite(res["nll"])
+    assert res["loglik"] == -res["nll"]
+
+
+class _Quad(Module):
+    v: Param = None
+
+
+def test_hmc_gaussian_target():
+    c = jnp.asarray(np.array([1.0, -2.0, 0.5]))
+    model = _Quad(v=Param.create(np.zeros(3)))
+
+    def logp(m):
+        return -0.5 * jnp.sum((m.v.value - c) ** 2)
+
+    samples, acc, rebuild = hmc_sample(
+        model, logp, jax.random.PRNGKey(0), num_samples=1500,
+        num_burn=300, step_size=0.3, num_leapfrog=8)
+    assert 0.4 < acc <= 1.0
+    assert_allclose(samples.mean(0), np.asarray(c), atol=0.15)
+    assert_allclose(samples.std(0), np.ones(3), atol=0.2)
+
+
+def test_trainable_mask_buffers_false():
+    X, Y = _step_data(10)
+    m = _model(X, Y, M=4, L=1)
+    mask = trainable_mask(m)
+    paths = jax.tree_util.tree_flatten_with_path(m)[0]
+    flat_k = jax.tree_util.tree_flatten(mask)[0]
+    assert len(paths) == len(flat_k)
+    found_data = 0
+    for (path, _), t in zip(paths, flat_k):
+        names = [getattr(p, "name", None) for p in path]
+        if "X_data" in names or "Y_data" in names:
+            found_data += 1
+            assert t == False  # noqa: E712  (buffers are frozen)
+        if "unconstrained" in names and "q_mu" in names:
+            assert t == True  # noqa: E712
+    assert found_data == 2
+    # at least the kernel/likelihood/q params are trainable
+    assert sum(bool(t) for t in flat_k) >= 5
