@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""MNIST multiclass demo (reference demos/demo_mnist.ipynb): DGP with a
+robust-max MultiClass(10) likelihood, M=100 inducing points, minibatch
+1000 — DGP2 = 784->30->10, DGP3 = 784->30->30->10.
+
+Offline note: MNIST cannot be downloaded in a zero-egress environment;
+this script looks for a cached npz at --data (keys X, Y, Xs, Ys with X
+in [0,1], Y integer labels) and otherwise runs on a synthetic
+10-class problem with the same shapes scaled down (--synthetic)."""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def synthetic_multiclass(N=6000, D=784, K=10, Ns=1000, seed=0):
+    rng = np.random.RandomState(seed)
+    W = rng.randn(D, K) * 0.5
+    X = rng.rand(N + Ns, D)
+    logits = X @ W + rng.randn(N + Ns, K) * 0.1
+    Y = np.argmax(logits, 1)[:, None].astype(float)
+    return X[:N], Y[:N], X[N:], Y[N:]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--layers", type=int, default=2)
+    p.add_argument("--iterations", type=int, default=2000)
+    p.add_argument("--minibatch", type=int, default=1000)
+    p.add_argument("--data", default="data/mnist.npz")
+    p.add_argument("--synthetic", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import doubly_stochastic_dgp_tpu as dsd
+    from doubly_stochastic_dgp_tpu.config import config
+    from doubly_stochastic_dgp_tpu.training.loop import fit
+    from doubly_stochastic_dgp_tpu.training.monitor import PrintTimings
+
+    dsd.set_default_float("float32")
+    dsd.set_default_jitter(1e-5)
+    config.solve_mode = "inverse"
+
+    if not args.synthetic and os.path.isfile(args.data):
+        d = np.load(args.data)
+        X, Y, Xs, Ys = d["X"], d["Y"], d["Xs"], d["Ys"]
+    else:
+        X, Y, Xs, Ys = synthetic_multiclass()
+    X = X.astype("float32")
+    Xs = Xs.astype("float32")
+    K = 10
+
+    from scipy.cluster.vq import kmeans2
+    Z = kmeans2(X, 100, minit="points", seed=0)[0]
+
+    D = X.shape[1]
+    dims = [D] + [30] * (args.layers - 1)
+    kernels = [dsd.RBF.make(d, lengthscales=2.0, variance=2.0)
+               for d in dims]
+
+    model = dsd.DGP.build(X, Y, Z, kernels, dsd.MultiClass.make(K),
+                          num_outputs=K, num_samples=1)
+
+    model, hist = fit(model, args.iterations, learning_rate=0.01,
+                      batch_size=args.minibatch,
+                      callbacks=[PrintTimings()], log_every=100)
+
+    # evaluation: predictive class probabilities, S=25 samples
+    predict = jax.jit(lambda m, x, k: m.predict_y(x, S=25, key=k))
+    key = jax.random.PRNGKey(0)
+    correct, lls = 0, []
+    B = 1000
+    for mb in range(-(-len(Xs) // B)):
+        x = Xs[mb * B:(mb + 1) * B]
+        y = Ys[mb * B:(mb + 1) * B]
+        m, v = predict(model, x, jax.random.fold_in(key, mb))
+        probs = np.asarray(m).mean(0)
+        correct += int((probs.argmax(1) == y[:, 0]).sum())
+        lls.append(np.log(np.maximum(
+            probs[np.arange(len(y)), y[:, 0].astype(int)], 1e-12)))
+    acc = correct / len(Xs)
+    ll = float(np.concatenate(lls).mean())
+    print(json.dumps({"accuracy": acc, "test_loglik": ll,
+                      "layers": args.layers,
+                      "final_loss": hist[-1]["loss"]}))
+
+
+if __name__ == "__main__":
+    main()

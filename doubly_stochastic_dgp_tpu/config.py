@@ -65,7 +65,12 @@ config = _cfg()
 
 
 def default_float():
-    return jnp.dtype(_cfg().float_dtype)
+    dt = jnp.dtype(_cfg().float_dtype)
+    if dt == jnp.float64 and not jax.config.jax_enable_x64:
+        # x64 disabled (e.g. TPU runs): fall back to float32 rather than
+        # emitting silently-truncating float64 requests
+        return jnp.dtype("float32")
+    return dt
 
 
 def default_jitter() -> float:
