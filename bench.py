@@ -31,6 +31,16 @@ import time
 CPU_BASELINE_STEPS_PER_SEC = 1.07
 
 
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
 def build(args):
     import numpy as np
     import jax
@@ -75,28 +85,34 @@ def build(args):
     return model, data, real
 
 
-def measure(model, batch_size, steps, warmup=5):
+def measure(model, batch_size, steps, warmup=5, inner_steps=1):
     import jax
     import optax
-    from doubly_stochastic_dgp_tpu.training.loop import make_sgd_train_step
+    from doubly_stochastic_dgp_tpu.training.loop import (make_scan_train_step,
+                                                         make_sgd_train_step)
     from doubly_stochastic_dgp_tpu.training.optim import masked_optimizer
 
     tx = masked_optimizer(optax.adam(0.01), model)
     opt_state = tx.init(model)
-    step = make_sgd_train_step(tx, batch_size=batch_size)
+    if inner_steps > 1:
+        step = make_scan_train_step(tx, batch_size=batch_size,
+                                    inner_steps=inner_steps)
+    else:
+        step = make_sgd_train_step(tx, batch_size=batch_size)
     key = jax.random.PRNGKey(0)
 
-    for i in range(warmup):
+    n_calls = max(1, steps // inner_steps)
+    for i in range(max(1, warmup // inner_steps)):
         model, opt_state, loss = step(model, opt_state,
                                       jax.random.fold_in(key, i))
     loss.block_until_ready()
     t0 = time.perf_counter()
-    for i in range(steps):
+    for i in range(n_calls):
         model, opt_state, loss = step(model, opt_state,
-                                      jax.random.fold_in(key, warmup + i))
+                                      jax.random.fold_in(key, 1000 + i))
     loss.block_until_ready()
     dt = time.perf_counter() - t0
-    return steps / dt, float(loss), model
+    return n_calls * inner_steps / dt, float(loss), model
 
 
 def main():
@@ -106,15 +122,19 @@ def main():
     p.add_argument("--layers", type=int, default=5)
     p.add_argument("--num-samples", type=int, default=10)
     p.add_argument("--pallas", action="store_true", default=False)
+    p.add_argument("--inner-steps", type=int, default=1,
+                   help="steps per XLA dispatch (lax.scan amortization)")
     p.add_argument("--with-cpu", action="store_true",
                    help="also measure the CPU backend for vs_baseline")
     args = p.parse_args()
 
     import jax
+    _enable_compile_cache()
     model, data, real = build(args)
     platform = jax.devices()[0].platform
 
-    rate, loss, model = measure(model, args.batch, args.steps)
+    rate, loss, model = measure(model, args.batch, args.steps,
+                                inner_steps=args.inner_steps)
 
     baseline = CPU_BASELINE_STEPS_PER_SEC
     if args.with_cpu:
@@ -123,7 +143,8 @@ def main():
         with jax.default_device(cpu_devs[0]):
             m2, _, _ = build(args)
             baseline, _, _ = measure(m2, args.batch,
-                                     max(10, args.steps // 10))
+                                     max(10, args.steps // 10),
+                                     inner_steps=args.inner_steps)
 
     out = {
         "metric": "elbo_steps_per_sec (kin8nm-shape, 5-layer DGP, "

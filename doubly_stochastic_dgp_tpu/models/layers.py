@@ -154,7 +154,7 @@ class SVGPLayer(Layer):
     def _chol_Kuu(self):
         Z = self.Z.value
         Ku = add_jitter(self.kern.K(Z))
-        return Ku, jnp.linalg.cholesky(Ku)
+        return Ku, safe_cholesky(self.kern.K(Z))
 
     def conditional_ND(self, X, full_cov=False):
         """Sparse GP conditional (reference layers.py:178-219).
@@ -186,7 +186,8 @@ class SVGPLayer(Layer):
         else:
             delta_cov = jnp.einsum("ib,dib->db", A, B)         # (D, B)
             Kff = self.kern.Kdiag(X)
-            var = (Kff[None] + delta_cov).T                    # (B, D)
+            # clamp float32 cancellation noise (Kff ~ Qff) at zero
+            var = jnp.maximum((Kff[None] + delta_cov).T, 0.0)  # (B, D)
         return mean + self.mean_function(X), var
 
     def KL(self):
@@ -386,8 +387,7 @@ class SGPRLayer(CollapsedLayer):
         M = Z.shape[0]
         variance = self._lik_variance
         sigma = jnp.sqrt(variance)
-        Kuu = add_jitter(self.kern.K(Z))
-        L = jnp.linalg.cholesky(Kuu)
+        L = safe_cholesky(self.kern.K(Z))
         if self._X_var is None:
             err = self._Y - self.mean_function(self._X_mean)
             Kuf = self.kern.K(Z, self._X_mean)

@@ -41,8 +41,25 @@ def add_jitter(K, jitter=None):
 
 
 def safe_cholesky(K, jitter=None):
-    """Cholesky of K + jitter*I (lower)."""
-    return jnp.linalg.cholesky(add_jitter(K, jitter))
+    """Cholesky of K + jitter*I with jitter escalation.
+
+    In float32 the M x M kernel gram can be ill-conditioned enough
+    (long lengthscales -> near-all-ones K) that the base jitter fails;
+    instead of NaN-ing the whole training step, retry with 100x and
+    10000x jitter and take the first finite factor.  The extra
+    factorizations are M x M (trivial next to the N-batch work) and the
+    selects are branch-free under jit.  In float64 the first attempt
+    virtually always succeeds.
+    """
+    jitter = default_jitter() if jitter is None else jitter
+    M = K.shape[-1]
+    I = jnp.eye(M, dtype=K.dtype)
+    L = jnp.linalg.cholesky(K + jitter * I)
+    for factor in (1e2, 1e4):
+        bad = jnp.any(jnp.isnan(L), axis=(-2, -1), keepdims=True)
+        L2 = jnp.linalg.cholesky(K + (jitter * factor) * I)
+        L = jnp.where(bad, L2, L)
+    return L
 
 
 def inv_lower(L):
@@ -79,7 +96,9 @@ def reparameterize(mean, var, z, full_cov=False):
         return mean
     jitter = default_jitter()
     if not full_cov:
-        return mean + z * jnp.sqrt(var + jitter)
+        # clamp: float32 cancellation in Kff - Qff can leave var a hair
+        # negative; the reference relies on float64 + jitter alone
+        return mean + z * jnp.sqrt(jnp.maximum(var, 0.0) + jitter)
     # full covariance: var is (S, N, N, D); batch the N x N Cholesky over
     # (S, D) — D-major layout so XLA sees a clean batched decomposition.
     mean_sdn = jnp.swapaxes(mean, 1, 2)              # (S, D, N)

@@ -56,6 +56,40 @@ def make_sgd_train_step(tx: optax.GradientTransformation,
     return step
 
 
+def make_scan_train_step(tx: optax.GradientTransformation,
+                         batch_size: Optional[int] = None,
+                         inner_steps: int = 10):
+    """Like make_sgd_train_step, but runs ``inner_steps`` optimizer steps
+    inside one XLA program via lax.scan — amortizes per-dispatch host
+    latency (the dominant cost at small model sizes on TPU; the
+    reference pays one session.run per step, SURVEY §3.2).  Returns
+    (model, opt_state, mean_loss)."""
+
+    def loss_fn(model, X, Y, key):
+        return -model.elbo(X, Y, key)
+
+    def body(carry, k):
+        model, opt_state = carry
+        kb, ks = jax.random.split(k)
+        X, Y = model.X_data, model.Y_data
+        if batch_size is not None and batch_size < X.shape[0]:
+            idx = jax.random.randint(kb, (batch_size,), 0, X.shape[0])
+            X, Y = X[idx], Y[idx]
+        loss, grads = jax.value_and_grad(loss_fn)(model, X, Y, ks)
+        updates, opt_state = tx.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return (model, opt_state), loss
+
+    @jax.jit
+    def step(model, opt_state, key):
+        keys = jax.random.split(key, inner_steps)
+        (model, opt_state), losses = jax.lax.scan(body, (model, opt_state),
+                                                  keys)
+        return model, opt_state, jnp.mean(losses)
+
+    return step
+
+
 def make_natgrad_adam_step(adam_tx: optax.GradientTransformation,
                            gamma: float,
                            ng_layers: Sequence[int] = (-1,),

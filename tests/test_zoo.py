@@ -1,0 +1,164 @@
+"""Zoo-model equivalences (reference tests/test_zoo_models.py:82-134):
+a standard 2-layer white DGP whose first layer is made deterministic
+(q_sqrt ~ 0, Z = X) with inducing points teleported to the propagated
+means and the final layer natural-gradient-stepped to optimality equals
+the DGPHeinonen model with the same inner q_mu.  Plus heteroscedastic
+and SGPMC/HMC smoke coverage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose
+
+from doubly_stochastic_dgp_tpu import (DGP, DGPHeinonen,
+                                       DGPHeteroscedastic, Gaussian,
+                                       GPMCLayer, GPRLayer, Matern52, RBF,
+                                       SGPMCLayer)
+from doubly_stochastic_dgp_tpu.config import temp_config
+from doubly_stochastic_dgp_tpu.models.dgp import DGPBase
+from doubly_stochastic_dgp_tpu.models.mean_functions import Identity, Zero
+from doubly_stochastic_dgp_tpu.training.natgrad import NaturalGradient
+from doubly_stochastic_dgp_tpu.utils.modules import Param
+
+
+def test_heinonen_vs_degenerate_dgp2():
+    np.random.seed(0)
+    N, D_X, D_Y = 6, 3, 2
+    X = np.random.uniform(size=(N, D_X))
+    Xs = X
+    lik_var = 0.1
+    q_mu = np.random.randn(N, D_X)
+    Y = np.random.randn(N, D_Y)
+    Ys = np.random.randn(N, D_Y)
+
+    with temp_config(jitter=1e-12):
+        kern1 = Matern52.make(D_X, lengthscales=0.5)
+        kern2 = Matern52.make(D_X, lengthscales=0.5)
+
+        m_dgp = DGP.build(X, Y, X.copy(), [kern1, kern2],
+                          Gaussian.make(lik_var),
+                          mean_function=Zero(output_dim=D_Y), white=True)
+        # deterministic first layer with the given q_mu
+        l0 = m_dgp.layers[0]
+        l0 = l0.replace(
+            q_mu=l0.q_mu.with_value(q_mu),
+            q_sqrt=l0.q_sqrt.with_value(
+                np.asarray(l0.q_sqrt.value) * 1e-24))
+        m_dgp = m_dgp.replace(layers=[l0] + m_dgp.layers[1:])
+
+        # teleport the second layer's inducing inputs to the propagated
+        # means (reference test_zoo_models.py:103-106)
+        Fs, ms, vs = m_dgp.predict_all_layers(jnp.asarray(X), S=1)
+        Znew = np.asarray(ms[0])[0]
+        l1 = m_dgp.layers[1]
+        l1 = l1.replace(Z=l1.Z.with_value(Znew))
+        m_dgp = m_dgp.replace(layers=[m_dgp.layers[0], l1])
+
+        # one exact natural-gradient step on the (conjugate) final layer
+        zs = [jnp.zeros((1, 1, l.num_outputs)) for l in m_dgp.layers]
+
+        def loss(m):
+            _, Fm, Fv = m.propagate(m.X_data, zs=zs, S=1)
+            ve = m.likelihood.variational_expectations(Fm[-1], Fv[-1],
+                                                       m.Y_data)
+            KL = sum((l.KL() for l in m.layers), jnp.zeros((), ve.dtype))
+            return -(jnp.sum(jnp.mean(ve, 0)) - KL)
+
+        m_dgp = NaturalGradient(gamma=1.0, var_layers=(-1,)).step(m_dgp,
+                                                                  loss)
+
+        # the Heinonen model with the same inner q_mu
+        layer0 = GPMCLayer.make(kern1, X.copy(), D_X, Identity())
+        layer0 = layer0.replace(q_mu=layer0.q_mu.with_value(q_mu))
+        layer1 = GPRLayer.make(kern2, Zero(output_dim=D_Y), D_Y)
+        m_h = DGPHeinonen.make(X, Y, Gaussian.make(lik_var),
+                               [layer0, layer1])
+
+        tol = 1e-4
+        key = jax.random.PRNGKey(0)
+        mean_dgp, var_dgp = m_dgp.predict_y(jnp.asarray(Xs), S=1, key=key)
+        mean_h, var_h = m_h.predict_y(jnp.asarray(Xs), S=1, key=key)
+        assert_allclose(np.asarray(mean_dgp), np.asarray(mean_h),
+                        atol=tol, rtol=tol)
+        assert_allclose(np.asarray(var_dgp), np.asarray(var_h),
+                        atol=tol, rtol=tol)
+
+        lik_dgp = m_dgp.predict_density(jnp.asarray(Xs), jnp.asarray(Ys),
+                                        S=1, key=key)
+        lik_h = m_h.predict_density(jnp.asarray(Xs), jnp.asarray(Ys),
+                                    S=1, key=key)
+        assert_allclose(np.asarray(lik_dgp), np.asarray(lik_h),
+                        atol=tol, rtol=tol)
+
+        mf_dgp, vf_dgp = m_dgp.predict_f_full_cov(jnp.asarray(Xs), S=1,
+                                                  key=key)
+        mf_h, vf_h = m_h.predict_f_full_cov(jnp.asarray(Xs), S=1, key=key)
+        assert_allclose(np.asarray(mf_dgp), np.asarray(mf_h), atol=tol,
+                        rtol=tol)
+        assert_allclose(np.asarray(vf_dgp), np.asarray(vf_h), atol=tol,
+                        rtol=tol)
+
+
+def test_heteroscedastic_smoke():
+    np.random.seed(1)
+    N, D = 40, 2
+    X = np.random.randn(N, D)
+    noise = 0.02 + 0.3 * (X[:, :1] > 0)
+    Y = np.sin(X[:, :1]) + np.random.randn(N, 1) * noise
+
+    from doubly_stochastic_dgp_tpu.models.initializations import \
+        init_layers_linear
+    kerns = [RBF.make(D), RBF.make(D)]
+    layers = init_layers_linear(X, Y, X[:10], kerns, num_outputs=2)
+    m = DGPHeteroscedastic.make(X, Y, Gaussian.make(0.05), layers,
+                                num_samples=3)
+    val = float(m.elbo(key=jax.random.PRNGKey(0)))
+    assert np.isfinite(val)
+
+    from doubly_stochastic_dgp_tpu.training.loop import fit
+    m2, hist = fit(m, iterations=80, learning_rate=0.02, log_every=20)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+    mean, var = m2.predict_y(jnp.asarray(X[:5]), S=4)
+    assert np.asarray(mean).shape == (4, 5, 1)
+    assert np.all(np.asarray(var) > 0)
+
+
+def test_sgpmc_layer_hmc_smoke():
+    """SGPMC: q_sqrt=None, unit prior on q_mu, KL()=0; short HMC chain
+    moves q_mu and stays finite (reference layers.py:249-260 +
+    gpflow HMC workflow)."""
+    np.random.seed(2)
+    N, M, D = 12, 5, 1
+    X = np.random.rand(N, D) * 2 - 1
+    Y = np.sin(3 * X) + np.random.randn(N, D) * 0.1
+    Z = np.linspace(-1, 1, M)[:, None]
+
+    kern = RBF.make(D, lengthscales=0.5)
+    layer = SGPMCLayer.make(kern, Z, 1, white=True)
+    assert layer.q_sqrt is None
+    assert float(layer.KL()) == 0.0
+
+    m = DGPBase.make(X, Y, Gaussian.make(0.05), [layer], num_samples=1)
+
+    from doubly_stochastic_dgp_tpu.training.hmc import hmc_sample
+    from doubly_stochastic_dgp_tpu.utils.modules import log_prior
+
+    def log_post(model):
+        # E_log_p with deterministic propagation (q_sqrt=None -> the
+        # conditional is still stochastic through Kff - Qff; use mean
+        # ELBO as the likelihood surrogate) + the N(0,1) prior on q_mu
+        return model.elbo(key=jax.random.PRNGKey(0)) + log_prior(model)
+
+    # only sample q_mu: freeze everything else
+    def freeze(path, param):
+        return "q_mu" not in path
+
+    samples, acc, rebuild = hmc_sample(
+        m, log_post, jax.random.PRNGKey(0), num_samples=50, num_burn=20,
+        step_size=0.02, num_leapfrog=5, freeze=freeze)
+    assert samples.shape == (50, M)
+    assert np.all(np.isfinite(np.asarray(samples)))
+    assert acc > 0.2
+    # the chain should have moved from the zero init
+    assert np.abs(np.asarray(samples[-1])).max() > 1e-3
