@@ -153,8 +153,8 @@ class SVGPLayer(Layer):
 
     def _chol_Kuu(self):
         Z = self.Z.value
-        Ku = add_jitter(self.kern.K(Z))
-        return Ku, safe_cholesky(self.kern.K(Z))
+        K = self.kern.K(Z)
+        return add_jitter(K), safe_cholesky(K)
 
     def conditional_ND(self, X, full_cov=False):
         """Sparse GP conditional (reference layers.py:178-219).

@@ -129,12 +129,19 @@ class DGPHeteroscedastic(DGPBase):
         D = Y.shape[-1]
         m_f, m_g = Fmean[..., :D], Fmean[..., D:]
         v_f, v_g = Fvar[..., :D], Fvar[..., D:]
-        # E_{f,g}[ log N(y; f, softplus(g)) ] with a 2nd-order treatment of
-        # the noise head: evaluate at the mean of g (delta approximation)
-        # and keep the exact Gaussian expectation over f.
-        noise = jax.nn.softplus(m_g) + self.min_noise
-        var_exp = (-0.5 * jnp.log(2 * jnp.pi * noise)
-                   - 0.5 * ((Y - m_f) ** 2 + v_f) / noise)
+        # E_{f,g}[ log N(y; f, softplus(g)) ]: the expectation over f is
+        # closed-form given g; the expectation over the noise head g uses
+        # Gauss-Hermite quadrature (exact up to the GH order).
+        from ..ops.quadrature import ndiagquad
+
+        def integrand(G, Y, m_f=None, v_f=None):
+            noise = jax.nn.softplus(G) + self.min_noise
+            return (-0.5 * jnp.log(2 * jnp.pi * noise)
+                    - 0.5 * ((Y - m_f) ** 2 + v_f) / noise)
+
+        var_exp = ndiagquad(
+            lambda G, Y: integrand(G, Y, m_f=m_f, v_f=v_f),
+            20, m_g, v_g, Y=Y)
         return jnp.mean(var_exp, axis=0)
 
     def predict_y(self, Xnew, S, key=None):

@@ -15,6 +15,12 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the suite compiles many small x64 programs;
+# repeat runs (CI / the driver) hit the cache and run in a fraction of
+# the cold time
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
