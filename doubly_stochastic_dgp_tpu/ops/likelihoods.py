@@ -376,15 +376,18 @@ class Beta(Likelihood):
 
 
 class Ordinal(Likelihood):
-    """Ordinal regression with fixed bin edges and a unit-scale latent:
-    p(Y = k | f) = Phi(a_k - f) - Phi(a_{k-1} - f)."""
+    """Ordinal regression with fixed bin edges and a trainable latent
+    scale: p(Y = k | f) = Phi((a_k - f)/sigma) - Phi((a_{k-1} - f)/sigma)
+    (the GPflow Ordinal construction)."""
 
     bin_edges: Any = None
+    sigma: Param = None
     num_gauss_hermite_points: int = static_field(default=DEFAULT_NUM_GH)
 
     @classmethod
-    def make(cls, bin_edges):
-        return cls(bin_edges=jnp.asarray(bin_edges, dtype=default_float()))
+    def make(cls, bin_edges, sigma=1.0, trainable=True):
+        return cls(bin_edges=jnp.asarray(bin_edges, dtype=default_float()),
+                   sigma=Param.positive(sigma, trainable=trainable))
 
     @property
     def num_bins(self):
@@ -395,7 +398,7 @@ class Ordinal(Likelihood):
         leading 0 boundary handled by padding with 0 and 1."""
         edges = self.bin_edges
         # (..., 1) broadcast against (E,)
-        cdf = _inv_probit(edges - F[..., None])                # (..., E)
+        cdf = _inv_probit((edges - F[..., None]) / self.sigma.value)
         lo = jnp.zeros_like(cdf[..., :1])
         hi = jnp.ones_like(cdf[..., :1])
         return jnp.concatenate([lo, cdf, hi], axis=-1)         # (..., E+2)

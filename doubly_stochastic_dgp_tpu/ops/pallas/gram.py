@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TILE_N = 256
-TILE_M = 256
+TILE_N = 512
+TILE_M = 128
 _MIN_ELEMENTS = 64 * 64  # below this, XLA's fusion is already fine
 
 

@@ -1,0 +1,54 @@
+"""Smoke-test the driver benchmark path (bench.py build+measure) on CPU
+with a tiny config, and the graft entry points."""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+@pytest.fixture(autouse=True)
+def _restore_config():
+    """bench/entry set global float32 config; restore x64 test defaults."""
+    yield
+    from doubly_stochastic_dgp_tpu import (set_default_float,
+                                           set_default_jitter)
+    from doubly_stochastic_dgp_tpu.config import config
+    set_default_float("float64")
+    set_default_jitter(1e-6)
+    config.solve_mode = "solve"
+    config.use_pallas = False
+
+
+def test_bench_build_and_measure_tiny():
+    sys.path.insert(0, REPO)
+    import bench
+
+    args = argparse.Namespace(steps=4, batch=64, layers=2, num_samples=2,
+                              pallas=False, inner_steps=2, with_cpu=False)
+    model, data, real = bench.build(args)
+    rate, loss, model = bench.measure(model, args.batch, args.steps,
+                                      warmup=2, inner_steps=2)
+    assert rate > 0
+    assert np.isfinite(loss)
+
+
+def test_graft_entry():
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+    import jax
+
+    fn, eargs = g.entry()
+    out = jax.jit(fn)(*eargs)
+    assert np.isfinite(float(out))
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
