@@ -122,7 +122,7 @@ def main():
     p.add_argument("--layers", type=int, default=5)
     p.add_argument("--num-samples", type=int, default=10)
     p.add_argument("--pallas", action="store_true", default=False)
-    p.add_argument("--inner-steps", type=int, default=10,
+    p.add_argument("--inner-steps", type=int, default=50,
                    help="steps per XLA dispatch (lax.scan amortization)")
     p.add_argument("--with-cpu", action="store_true",
                    help="also measure the CPU backend for vs_baseline")

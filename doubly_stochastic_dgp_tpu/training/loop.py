@@ -14,6 +14,7 @@ Rebuilds the training harness of the reference:
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -25,8 +26,23 @@ from ..utils.modules import trainable_mask
 from .natgrad import natgrad_update
 from .optim import freeze_q_params, masked_optimizer
 
-__all__ = ["make_sgd_train_step", "make_natgrad_adam_step", "fit",
-           "evaluate_regression"]
+__all__ = ["make_sgd_train_step", "make_scan_train_step",
+           "make_natgrad_adam_step", "fit", "evaluate_regression"]
+
+
+def _tpu_donate():
+    """Buffer donation is a no-op (with warnings) on CPU; enable on TPU."""
+    try:
+        return (0, 1) if jax.default_backend() in ("tpu", "axon") else ()
+    except Exception:
+        return ()
+
+
+def _stop_data_grad(X, Y):
+    """The training data are buffers, not parameters: detach them so the
+    backward pass never materializes a scatter of batch grads into the
+    full dataset."""
+    return jax.lax.stop_gradient(X), jax.lax.stop_gradient(Y)
 
 
 def make_sgd_train_step(tx: optax.GradientTransformation,
@@ -44,7 +60,7 @@ def make_sgd_train_step(tx: optax.GradientTransformation,
     @jax.jit
     def step(model, opt_state, key):
         kb, ks = jax.random.split(key)
-        X, Y = model.X_data, model.Y_data
+        X, Y = _stop_data_grad(model.X_data, model.Y_data)
         if batch_size is not None and batch_size < X.shape[0]:
             idx = jax.random.randint(kb, (batch_size,), 0, X.shape[0])
             X, Y = X[idx], Y[idx]
@@ -71,7 +87,7 @@ def make_scan_train_step(tx: optax.GradientTransformation,
     def body(carry, k):
         model, opt_state = carry
         kb, ks = jax.random.split(k)
-        X, Y = model.X_data, model.Y_data
+        X, Y = _stop_data_grad(model.X_data, model.Y_data)
         if batch_size is not None and batch_size < X.shape[0]:
             idx = jax.random.randint(kb, (batch_size,), 0, X.shape[0])
             X, Y = X[idx], Y[idx]
@@ -80,7 +96,7 @@ def make_scan_train_step(tx: optax.GradientTransformation,
         model = optax.apply_updates(model, updates)
         return (model, opt_state), loss
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=_tpu_donate())
     def step(model, opt_state, key):
         keys = jax.random.split(key, inner_steps)
         (model, opt_state), losses = jax.lax.scan(body, (model, opt_state),
@@ -106,7 +122,7 @@ def make_natgrad_adam_step(adam_tx: optax.GradientTransformation,
     @jax.jit
     def step(model, opt_state, key):
         kb, k1, k2 = jax.random.split(key, 3)
-        X, Y = model.X_data, model.Y_data
+        X, Y = _stop_data_grad(model.X_data, model.Y_data)
         if batch_size is not None and batch_size < X.shape[0]:
             idx = jax.random.randint(kb, (batch_size,), 0, X.shape[0])
             X, Y = X[idx], Y[idx]
