@@ -34,6 +34,9 @@ def main():
     p.add_argument("--minibatch", type=int, default=1000)
     p.add_argument("--data", default="data/mnist.npz")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the minibatch over all local devices "
+                        "(BASELINE config #4)")
     args = p.parse_args()
 
     import jax
@@ -66,9 +69,42 @@ def main():
     model = dsd.DGP.build(X, Y, Z, kernels, dsd.MultiClass.make(K),
                           num_outputs=K, num_samples=1)
 
-    model, hist = fit(model, args.iterations, learning_rate=0.01,
-                      batch_size=args.minibatch,
-                      callbacks=[PrintTimings()], log_every=100)
+    if args.data_parallel and len(jax.devices()) > 1:
+        import optax
+        from doubly_stochastic_dgp_tpu.parallel.dp import make_dp_train_step
+        from doubly_stochastic_dgp_tpu.parallel.mesh import (make_mesh,
+                                                             replicate,
+                                                             shard_along)
+        from doubly_stochastic_dgp_tpu.training.optim import masked_optimizer
+
+        mesh = make_mesh()
+        n_dev = len(jax.devices())
+        B = args.minibatch - args.minibatch % n_dev
+        model = replicate(model, mesh)
+        tx = masked_optimizer(optax.adam(0.01), model)
+        opt_state = tx.init(model)
+        step = make_dp_train_step(tx, mesh, batch_size=B)
+        key = jax.random.PRNGKey(0)
+        rng = np.random.RandomState(0)
+        hist = []
+        import time as _t
+        t0 = _t.perf_counter()
+        for i in range(args.iterations):
+            idx = rng.randint(0, X.shape[0], B)
+            Xb = shard_along(jax.numpy.asarray(X[idx]), mesh)
+            Yb = shard_along(jax.numpy.asarray(
+                Y[idx].astype("float32")), mesh)
+            model, opt_state, loss = step(model, opt_state, Xb, Yb,
+                                          jax.random.fold_in(key, i))
+            if (i + 1) % 100 == 0 or i == 0:
+                hist.append({"iter": i + 1, "loss": float(loss),
+                             "elapsed": _t.perf_counter() - t0})
+                print(f"[dp x{n_dev}] iter {i+1}: loss {float(loss):.2f}",
+                      flush=True)
+    else:
+        model, hist = fit(model, args.iterations, learning_rate=0.01,
+                          batch_size=args.minibatch,
+                          callbacks=[PrintTimings()], log_every=100)
 
     # evaluation: predictive class probabilities, S=25 samples
     predict = jax.jit(lambda m, x, k: m.predict_y(x, S=25, key=k))

@@ -54,7 +54,10 @@ def _rbf_psi(kern: RBF, mu, S, Z):
     t_mu2 = jnp.sum(mu ** 2 * inv2, axis=-1)                    # (N,)
     t_cross = jnp.einsum("nd,abd->nab", mu * inv2, zbar)        # (N, M, M)
     t_zbar2 = jnp.einsum("nd,abd->nab", inv2, zbar ** 2)        # (N, M, M)
-    quad2 = -(t_mu2[:, None, None] - 2.0 * t_cross + t_zbar2)   # (N, M, M)
+    # mathematically <= 0; clamp float32 cancellation noise so exp can't
+    # overflow
+    quad2 = jnp.minimum(
+        -(t_mu2[:, None, None] - 2.0 * t_cross + t_zbar2), 0.0)  # (N, M, M)
     psi2_n = var ** 2 * jnp.exp(
         logdet2[:, None, None] + log_zz[None, :, :] + quad2)
     psi2 = jnp.sum(psi2_n, axis=0)                              # (M, M)
