@@ -19,8 +19,8 @@ import numpy as np
 
 from ..config import default_float, default_jitter
 from ..ops.linalg import (add_jitter, gauss_kl_nonwhite, gauss_kl_white,
-                          mvn_logpdf, reparameterize, safe_cholesky,
-                          tri_solve)
+                          inv_lower, mvn_logpdf, reparameterize,
+                          safe_cholesky, tri_solve)
 from ..utils.modules import Module, Param, static_field
 from .mean_functions import MeanFunction, Zero
 
@@ -156,26 +156,61 @@ class SVGPLayer(Layer):
         K = self.kern.K(Z)
         return add_jitter(K), safe_cholesky(K)
 
+    def _SK(self, Ku):
+        """q_sqrt q_sqrt^T - {I | Ku}: the (D|1, M, M) covariance core."""
+        M = self.num_inducing
+        I = jnp.eye(M, dtype=Ku.dtype)
+        SK = -I[None] if self.white else -Ku[None]
+        if self.q_sqrt is not None:
+            q_sqrt = self.q_sqrt.value                         # (D, M, M)
+            SK = SK + jnp.einsum("dij,dkj->dik", q_sqrt, q_sqrt)
+        return SK
+
     def conditional_ND(self, X, full_cov=False):
         """Sparse GP conditional (reference layers.py:178-219).
 
         mean = A^T q_mu + m(X),   A = Lu^{-1} Kuf (white) or Ku^{-1} Kuf
         var  = Kff + A^T (q_sqrt q_sqrt^T - {I | Ku}) A
+
+        Two execution strategies (config.solve_mode):
+          'solve'   — triangular solves against the (M, B) batch, the
+                      reference formulation (max accuracy; parity mode).
+          'inverse' — TPU fast path: precompute alpha = P q_mu and
+                      W_d = P SK_d P once per step (P = Ku^{-1}, or
+                      Lu^{-T}Lu^{-1}-structured for white), so the
+                      per-batch work is pure MXU matmuls:
+                        mean = Kuf^T alpha,
+                        var  = Kff + colsum(Kuf * (W_d Kuf)).
+                      Mathematically identical; avoids the two big
+                      sequential triangular solves entirely.
         """
+        from ..config import config
+
         Ku, Lu = self._chol_Kuu()
         Kuf = self.kern.K(self.Z.value, X)                     # (M, B)
+        SK = self._SK(Ku)
+
+        if config.solve_mode == "inverse" and not full_cov:
+            Li = inv_lower(Lu)                                 # (M, M)
+            if self.white:
+                # A = Lu^{-1} Kuf: alpha = Li^T q_mu-projection
+                P = Li                                         # A = P Kuf
+            else:
+                P = Li.T @ Li                                  # Ku^{-1}
+            alpha = P.T @ self.q_mu.value                      # (M, D)
+            W = jnp.einsum("ij,djk,lk->dil", P.T, SK, P.T)     # (D, M, M)
+            mean = Kuf.T @ alpha                               # (B, D)
+            T = jnp.einsum("dij,jb->dib", W, Kuf)              # (D, M, B)
+            delta_cov = jnp.einsum("ib,dib->db", Kuf, T)       # (D, B)
+            Kff = self.kern.Kdiag(X)
+            var = jnp.maximum((Kff[None] + delta_cov).T, 0.0)  # (B, D)
+            return mean + self.mean_function(X), var
+
         A = tri_solve(Lu, Kuf, lower=True)
         if not self.white:
             A = tri_solve(Lu, A, lower=True, trans=True)       # Ku^{-1} Kuf
 
         mean = A.T @ self.q_mu.value                           # (B, D)
-
-        M = self.num_inducing
-        I = jnp.eye(M, dtype=X.dtype)
-        SK = -I[None] if self.white else -Ku[None]             # (1|D, M, M)
-        if self.q_sqrt is not None:
-            q_sqrt = self.q_sqrt.value                         # (D, M, M)
-            SK = SK + jnp.einsum("dij,dkj->dik", q_sqrt, q_sqrt)
 
         B = jnp.einsum("dij,jb->dib", SK, A)                   # (D, M, B)
         if full_cov:
