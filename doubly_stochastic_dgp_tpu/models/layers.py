@@ -94,6 +94,29 @@ class Layer(Module):
         return samples, mean, var
 
 
+def _fusable_rbf(kern):
+    """If the kernel is RBF or Sum(RBF, White...), return
+    (rbf, total_white_variance); else None (the fused Pallas conditional
+    only supports that family)."""
+    from ..ops.kernels import RBF, Sum, White
+
+    if isinstance(kern, RBF):
+        return kern, jnp.zeros((), dtype=default_float())
+    if isinstance(kern, Sum):
+        rbf = None
+        white = jnp.zeros((), dtype=default_float())
+        for k in kern.kernels:
+            if isinstance(k, RBF) and rbf is None:
+                rbf = k
+            elif isinstance(k, White):
+                white = white + k.variance.value
+            else:
+                return None
+        if rbf is not None:
+            return rbf, white
+    return None
+
+
 def _init_q_sqrt(Z, kern, num_outputs, white):
     """Identity init (white) or prior Cholesky init (non-white), as at
     reference layers.py:149-163."""
@@ -186,6 +209,10 @@ class SVGPLayer(Layer):
         """
         from ..config import config
 
+        if (config.use_pallas and not full_cov
+                and _fusable_rbf(self.kern) is not None):
+            return self._conditional_fused(X)
+
         Ku, Lu = self._chol_Kuu()
         Kuf = self.kern.K(self.Z.value, X)                     # (M, B)
         SK = self._SK(Ku)
@@ -223,6 +250,29 @@ class SVGPLayer(Layer):
             Kff = self.kern.Kdiag(X)
             # clamp float32 cancellation noise (Kff ~ Qff) at zero
             var = jnp.maximum((Kff[None] + delta_cov).T, 0.0)  # (B, D)
+        return mean + self.mean_function(X), var
+
+    def _conditional_fused(self, X):
+        """Fused Pallas path: the whole gram->mean/var pipeline runs as
+        one tiled TPU kernel (ops/pallas/conditional.py).  Valid for RBF
+        (optionally + White) kernels, diagonal covariance."""
+        from ..ops.pallas.conditional import fused_conditional
+
+        rbf, white_var = _fusable_rbf(self.kern)
+        Ku, Lu = self._chol_Kuu()
+        SK = self._SK(Ku)
+        Li = inv_lower(Lu)
+        P = Li if self.white else Li.T @ Li
+        alpha = P.T @ self.q_mu.value                          # (M, D)
+        W = jnp.einsum("ij,djk,lk->dil", P.T, SK, P.T)         # (D, M, M)
+        ls = rbf.lengthscales.value
+        Xs = X / ls
+        Zs = self.Z.value / ls
+        kvar = rbf.variance.value
+        kdiag = kvar + white_var
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        mean, var = fused_conditional(Xs, Zs, alpha, W, kvar, kdiag,
+                                      interpret)
         return mean + self.mean_function(X), var
 
     def KL(self):

@@ -92,13 +92,10 @@ class Stationary(Kernel):
         raise NotImplementedError
 
     def K(self, X, X2=None):
-        if config.use_pallas and type(self) is RBF:
-            from .pallas.gram import rbf_gram_maybe
-            out = rbf_gram_maybe(X, X2 if X2 is not None else X,
-                                 self.lengthscales.value,
-                                 self.variance.value)
-            if out is not None:
-                return out
+        # NB: config.use_pallas routes the whole conditional through the
+        # fused Pallas kernel at the layer level (ops/pallas/conditional);
+        # the standalone gram kernel (ops/pallas/gram) measured slower
+        # than XLA's fusion at DGP shapes, so plain XLA is used here.
         r2 = self.scaled_square_dist(X, X2)
         return self.variance.value * self._shape_fn(r2)
 
