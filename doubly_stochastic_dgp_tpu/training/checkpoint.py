@@ -38,9 +38,21 @@ def _leaves_from_npz(path: str, template) -> Tuple[Any, int]:
     return jax.tree_util.tree_unflatten(treedef, new_leaves), step
 
 
-def save_checkpoint(ckpt_dir: str, state, step: int):
-    """state: any pytree (e.g. (model, opt_state))."""
+def save_checkpoint(ckpt_dir: str, state, step: int, backend: str = "npz"):
+    """state: any pytree (e.g. (model, opt_state)).
+
+    backend='npz' (default, dependency-free) or 'orbax' (async-capable,
+    the production choice; Module pytrees round-trip through Orbax's
+    StandardCheckpointer since they are registered pytrees)."""
     os.makedirs(ckpt_dir, exist_ok=True)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(ckpt_dir, f"orbax_{step}"))
+        # synchronous handler: the async StandardCheckpointer returns
+        # before files hit disk
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+            ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+        return path
     path = os.path.join(ckpt_dir, f"ckpt_{step}.npz")
     _leaves_to_npz(path, state, step)
     return path
@@ -60,9 +72,27 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
 
 
 def restore_checkpoint(ckpt_dir: str, template,
-                       step: Optional[int] = None):
+                       step: Optional[int] = None, backend: str = "npz"):
     """Restore into the structure of ``template``; returns
     (state, step) or (template, None) if nothing to restore."""
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        if step is None:
+            steps = []
+            for f in os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else []:
+                if f.startswith("orbax_"):
+                    try:
+                        steps.append(int(f[6:]))
+                    except ValueError:
+                        pass
+            if not steps:
+                return template, None
+            step = max(steps)
+        path = os.path.abspath(os.path.join(ckpt_dir, f"orbax_{step}"))
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+            state = ckptr.restore(
+                path, args=ocp.args.StandardRestore(template))
+        return state, step
     step = step if step is not None else latest_step(ckpt_dir)
     if step is None:
         return template, None

@@ -110,6 +110,17 @@ def test_checkpoint_roundtrip(tmp_path):
     assert_allclose(float(l1), float(l2), rtol=1e-12)
 
 
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    X, Y = _step_data(10)
+    m = _model(X, Y, M=4, L=1)
+    save_checkpoint(str(tmp_path), m, step=3, backend="orbax")
+    m_r, s = restore_checkpoint(str(tmp_path), m, backend="orbax")
+    assert s == 3
+    for a, b in zip(jax.tree_util.tree_leaves(m),
+                    jax.tree_util.tree_leaves(m_r)):
+        assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_evaluate_regression_metrics():
     X, Y = _step_data()
     m = _model(X, Y)
