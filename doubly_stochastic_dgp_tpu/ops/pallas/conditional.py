@@ -163,8 +163,11 @@ def _bwd_kernel(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref, gm_ref, gv_ref,
     dz_ref[0] = (2.0 * (z * cs.T - jnp.dot(G.T, x,
                                            preferred_element_type=at))
                  ).astype(dz_ref.dtype)
-    dscal_ref[0, 0] = dkvar.astype(dscal_ref.dtype)
-    dscal_ref[0, 1] = dkdiag.astype(dscal_ref.dtype)
+    # scalar partials live in an (8, 128)-aligned VMEM tile (TPU pallas
+    # cannot address smaller output blocks); [0,0]=dkvar, [0,1]=dkdiag
+    buf = jnp.zeros((8, 128), dtype=at)
+    buf = buf.at[0, 0].set(dkvar).at[0, 1].set(dkdiag)
+    dscal_ref[0] = buf.astype(dscal_ref.dtype)
 
 
 def _fused_backward(Xs, Zs, alpha, W, kvar, kdiag, gm, gv,
@@ -215,15 +218,15 @@ def _fused_backward(Xs, Zs, alpha, W, kvar, kdiag, gm, gv,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Do, Mp, Mp), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Bp, Dx), Xs.dtype),
             jax.ShapeDtypeStruct((nT, Mp, Dx), Xs.dtype),
             jax.ShapeDtypeStruct((nT, Mp, Do), Xs.dtype),
             jax.ShapeDtypeStruct((nT, Do, Mp, Mp), Xs.dtype),
-            jax.ShapeDtypeStruct((nT, 2), Xs.dtype),
+            jax.ShapeDtypeStruct((nT, 8, 128), Xs.dtype),
         ),
         interpret=interpret,
     )(Xp, Zp, ap, Wp, scal, gmp, gvp)
@@ -233,7 +236,7 @@ def _fused_backward(Xs, Zs, alpha, W, kvar, kdiag, gm, gv,
     dalpha = jnp.sum(dat, axis=0)[:M]
     dW = jnp.sum(dWt, axis=0)[:, :M, :M]
     ds = jnp.sum(dst, axis=0)
-    return dXs, dZs, dalpha, dW, ds[0], ds[1]
+    return dXs, dZs, dalpha, dW, ds[0, 0], ds[0, 1]
 
 
 # ---------------------------------------------------------------------------
