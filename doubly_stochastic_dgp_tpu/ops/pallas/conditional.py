@@ -165,8 +165,11 @@ def _bwd_kernel(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref, gm_ref, gv_ref,
                  ).astype(dz_ref.dtype)
     # scalar partials live in an (8, 128)-aligned VMEM tile (TPU pallas
     # cannot address smaller output blocks); [0,0]=dkvar, [0,1]=dkdiag
-    buf = jnp.zeros((8, 128), dtype=at)
-    buf = buf.at[0, 0].set(dkvar).at[0, 1].set(dkdiag)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    zero = jnp.zeros((8, 128), dtype=at)
+    buf = (jnp.where((row == 0) & (col == 0), dkvar, zero)
+           + jnp.where((row == 0) & (col == 1), dkdiag, zero))
     dscal_ref[0] = buf.astype(dscal_ref.dtype)
 
 
