@@ -117,7 +117,7 @@ def measure(model, batch_size, steps, warmup=5, inner_steps=1):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--steps", type=int, default=300)
     p.add_argument("--batch", type=int, default=1000)
     p.add_argument("--layers", type=int, default=5)
     p.add_argument("--num-samples", type=int, default=10)

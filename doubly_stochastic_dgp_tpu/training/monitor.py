@@ -69,6 +69,22 @@ class TensorBoardLogger:
         self.writer.close()
 
 
+class FullElboCallback:
+    """Evaluates the ELBO on the full stored dataset every log event —
+    the gpflow_monitor LmlTensorBoard analogue (reference
+    run_regression.py:91-92).  Jitted once; result lands in stats."""
+
+    def __init__(self, key=None):
+        import jax
+        self._fn = jax.jit(lambda m, k: m.elbo(key=k))
+        self._key = key
+
+    def __call__(self, step, model, loss, stats):
+        import jax
+        key = self._key if self._key is not None else jax.random.PRNGKey(0)
+        stats["full_elbo"] = float(self._fn(model, key))
+
+
 class profile_trace:
     """Context manager around jax.profiler.trace for TPU traces."""
 
