@@ -120,11 +120,15 @@ def _fused_forward(Xs, Zs, alpha, W, kvar, kdiag, interpret=False):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref, gm_ref, gv_ref,
-                dx_ref, dz_ref, dalpha_ref, dw_ref, dscal_ref):
+                dx_ref, dz_ref, dalpha_ref, dw_ref):
+    """Backward tile.  ``gv`` arrives already clamp-masked (done in jnp
+    from the saved forward outputs), and the scalar grads (dkvar,
+    dkdiag) are reconstructed outside from (mean, var) — Mosaic cannot
+    lower full-to-scalar reductions or sub-block ref offsets, so the
+    kernel only emits tensor-shaped results."""
     x = xs_ref[:]
     z = zs_ref[:]
     kvar = scal_ref[0, 0]
-    kdiag = scal_ref[0, 1]
     at = _acc_t(x.dtype)
 
     cross = jax.lax.dot_general(x, z, (((1,), (1,)), ((), ())),
@@ -134,27 +138,25 @@ def _bwd_kernel(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref, gm_ref, gv_ref,
     K = kvar * jnp.exp(-0.5 * jnp.maximum(xsq + zsq - 2.0 * cross, 0.0))
 
     gm = gm_ref[:]                                  # (TB, Do)
-    gv = gv_ref[:]                                  # (TB, Do)
+    gv = gv_ref[:]                                  # (TB, Do), pre-masked
 
-    # re-derive the clamp mask: var_d >= 0 after kdiag shift
     Do = w_ref.shape[0]
+    Wv = w_ref[:]                                   # one full-block read
     dK = jnp.dot(gm, alpha_ref[:].T, preferred_element_type=at)  # (TB, Mp)
-    dkdiag = jnp.zeros((), dtype=at)
+    dws = []
     for d in range(Do):
-        T = jnp.dot(K, w_ref[d], preferred_element_type=at)      # (TB, Mp)
-        var_d = kdiag + jnp.sum(K * T, axis=1)
-        g_d = jnp.where(var_d > 0.0, gv[:, d], 0.0)              # clamp vjp
-        dkdiag = dkdiag + jnp.sum(g_d)
+        T = jnp.dot(K, Wv[d], preferred_element_type=at)         # (TB, Mp)
+        g_d = gv[:, d]
         dK = dK + 2.0 * g_d[:, None] * T
         # dW_d = K^T diag(g_d) K
-        dw_ref[0, d] = jnp.dot((K * g_d[:, None]).T, K,
-                               preferred_element_type=at).astype(dw_ref.dtype)
+        dws.append(jnp.dot((K * g_d[:, None]).T, K,
+                           preferred_element_type=at))
+    dw_ref[0] = jnp.stack(dws, axis=0).astype(dw_ref.dtype)
 
     dalpha_ref[0] = jnp.dot(K.T, gm,
                             preferred_element_type=at).astype(dalpha_ref.dtype)
 
     # chain through K = kvar * exp(-0.5 * dist)
-    dkvar = jnp.sum(dK * K) / kvar
     G = dK * (-0.5) * K                              # dL/d dist, (TB, Mp)
     rs = jnp.sum(G, axis=1, keepdims=True)           # (TB, 1)
     cs = jnp.sum(G, axis=0, keepdims=True)           # (1, Mp)
@@ -163,18 +165,13 @@ def _bwd_kernel(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref, gm_ref, gv_ref,
     dz_ref[0] = (2.0 * (z * cs.T - jnp.dot(G.T, x,
                                            preferred_element_type=at))
                  ).astype(dz_ref.dtype)
-    # scalar partials live in an (8, 128)-aligned VMEM tile (TPU pallas
-    # cannot address smaller output blocks); [0,0]=dkvar, [0,1]=dkdiag
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    zero = jnp.zeros((8, 128), dtype=at)
-    buf = (jnp.where((row == 0) & (col == 0), dkvar, zero)
-           + jnp.where((row == 0) & (col == 1), dkdiag, zero))
-    dscal_ref[0] = buf.astype(dscal_ref.dtype)
 
 
-def _fused_backward(Xs, Zs, alpha, W, kvar, kdiag, gm, gv,
+def _fused_backward(Xs, Zs, alpha, W, kvar, gm, gv,
                     interpret=False):
+    """gm/gv are the (already clamp-masked) output cotangents; returns
+    (dXs, dZs, dalpha, dW).  Scalar grads are reconstructed by the
+    caller from the saved forward outputs."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -189,7 +186,7 @@ def _fused_backward(Xs, Zs, alpha, W, kvar, kdiag, gm, gv,
     Zp = jnp.pad(Zs, ((0, Mp - M), (0, 0)))
     ap = jnp.pad(alpha, ((0, Mp - M), (0, 0)))
     Wp = jnp.pad(W, ((0, 0), (0, Mp - M), (0, Mp - M)))
-    scal = jnp.stack([kvar, kdiag]).reshape(1, 2).astype(Xs.dtype)
+    scal = jnp.stack([kvar, kvar]).reshape(1, 2).astype(Xs.dtype)
     gmp = jnp.pad(gm, ((0, Bp - B), (0, 0)))
     gvp = jnp.pad(gv, ((0, Bp - B), (0, 0)))
 
@@ -221,25 +218,21 @@ def _fused_backward(Xs, Zs, alpha, W, kvar, kdiag, gm, gv,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Do, Mp, Mp), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Bp, Dx), Xs.dtype),
             jax.ShapeDtypeStruct((nT, Mp, Dx), Xs.dtype),
             jax.ShapeDtypeStruct((nT, Mp, Do), Xs.dtype),
             jax.ShapeDtypeStruct((nT, Do, Mp, Mp), Xs.dtype),
-            jax.ShapeDtypeStruct((nT, 8, 128), Xs.dtype),
         ),
         interpret=interpret,
     )(Xp, Zp, ap, Wp, scal, gmp, gvp)
-    dXp, dZt, dat, dWt, dst = outs
+    dXp, dZt, dat, dWt = outs
     dXs = dXp[:B]
     dZs = jnp.sum(dZt, axis=0)[:M]
     dalpha = jnp.sum(dat, axis=0)[:M]
     dW = jnp.sum(dWt, axis=0)[:, :M, :M]
-    ds = jnp.sum(dst, axis=0)
-    return dXs, dZs, dalpha, dW, ds[0, 0], ds[0, 1]
+    return dXs, dZs, dalpha, dW
 
 
 # ---------------------------------------------------------------------------
@@ -260,14 +253,24 @@ def fused_conditional(Xs, Zs, alpha, W, kvar, kdiag, interpret=False):
 def _fc_fwd(Xs, Zs, alpha, W, kvar, kdiag, interpret):
     out = _fused_forward(Xs, Zs, alpha, W, kvar, kdiag,
                          interpret=interpret)
-    return out, (Xs, Zs, alpha, W, kvar, kdiag)
+    mean, var = out
+    return out, (Xs, Zs, alpha, W, kvar, kdiag, mean, var)
 
 
 def _fc_bwd(interpret, res, cot):
-    Xs, Zs, alpha, W, kvar, kdiag = res
+    Xs, Zs, alpha, W, kvar, kdiag, mean, var = res
     gm, gv = cot
-    dXs, dZs, dalpha, dW, dkvar, dkdiag = _fused_backward(
-        Xs, Zs, alpha, W, kvar, kdiag, gm, gv, interpret=interpret)
+    # clamp VJP: entries where the forward clamped var at 0 get no
+    # variance cotangent
+    gv_eff = jnp.where(var > 0.0, gv, 0.0)
+    # scalar grads from saved outputs (Mosaic cannot lower full-to-scalar
+    # reductions in-kernel):
+    #   sum(dK*K) = sum(gm*mean) + 2 sum(gv_eff*(var - kdiag))
+    dkdiag = jnp.sum(gv_eff)
+    dkvar = (jnp.sum(gm * mean)
+             + 2.0 * jnp.sum(gv_eff * (var - kdiag))) / kvar
+    dXs, dZs, dalpha, dW = _fused_backward(
+        Xs, Zs, alpha, W, kvar, gm, gv_eff, interpret=interpret)
     return (dXs, dZs, dalpha, dW,
             dkvar.astype(jnp.asarray(kvar).dtype),
             dkdiag.astype(jnp.asarray(kdiag).dtype))
