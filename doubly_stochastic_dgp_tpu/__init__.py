@@ -26,6 +26,7 @@ from .models.layers import (GPMCLayer, GPRLayer, SGPMCLayer, SGPRLayer,
                             SVGPLayer)
 from .models.mean_functions import Constant as ConstantMean
 from .models.mean_functions import Identity, Linear, Zero
+from .models.single_layer import GPR, GPRFITC, SGPR, SVGP
 from .models.zoo import DGPCollapsed, DGPHeinonen, DGPHeteroscedastic
 from .utils.modules import Module, Param, log_prior, trainable_mask
 

@@ -1,1 +1,1 @@
-from . import dgp, initializations, layers, mean_functions, zoo
+from . import dgp, initializations, layers, mean_functions, single_layer, zoo

@@ -1,0 +1,59 @@
+"""TPU probe: fused Pallas conditional vs XLA reference across M
+(inducing count), forward+backward, B=8192.  Identifies the regime
+where VMEM fusion beats XLA's HBM-materialized intermediates."""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from doubly_stochastic_dgp_tpu.ops.pallas.conditional import (
+    fused_conditional, fused_conditional_reference)
+
+
+def timeit(f, *args, n=20):
+    o = f(*args)
+    jax.tree_util.tree_leaves(o)[0].block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        o = f(*args)
+    jax.tree_util.tree_leaves(o)[0].block_until_ready()
+    return (time.perf_counter() - t0) / n * 1e3  # ms
+
+
+def main():
+    B, Dx, Do = 8192, 8, 8
+    rng = np.random.RandomState(0)
+    for M in (100, 256, 512):
+        Xs = jnp.asarray(rng.randn(B, Dx), jnp.float32)
+        Zs = jnp.asarray(rng.randn(M, Dx), jnp.float32)
+        alpha = jnp.asarray(rng.randn(M, Do) * 0.1, jnp.float32)
+        W = jnp.asarray(rng.randn(Do, M, M) * 0.01, jnp.float32)
+        kvar = jnp.float32(1.0)
+        kdiag = jnp.float32(1.0)
+        G = jnp.asarray(rng.randn(B, Do), jnp.float32)
+
+        def loss_pl(Xs, Zs, alpha, W, kvar, kdiag):
+            m, v = fused_conditional(Xs, Zs, alpha, W, kvar, kdiag)
+            return jnp.sum(m * G) + jnp.sum(v * G)
+
+        def loss_ref(Xs, Zs, alpha, W, kvar, kdiag):
+            m, v = fused_conditional_reference(Xs, Zs, alpha, W, kvar,
+                                               kdiag)
+            return jnp.sum(m * G) + jnp.sum(v * G)
+
+        args = (Xs, Zs, alpha, W, kvar, kdiag)
+        g_pl = jax.jit(jax.grad(loss_pl, argnums=(0, 2, 3)))
+        g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 2, 3)))
+        t_pl = timeit(g_pl, *args)
+        t_ref = timeit(g_ref, *args)
+        print(f"M={M}: fused {t_pl:.2f} ms  xla {t_ref:.2f} ms  "
+              f"speedup {t_ref / t_pl:.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()
