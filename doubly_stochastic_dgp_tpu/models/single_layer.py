@@ -51,6 +51,20 @@ class SVGP(DGPBase):
     def log_likelihood(self, X=None, Y=None):
         return self.elbo(X, Y, key=jax.random.PRNGKey(0))
 
+    # single layer: conditional moments are deterministic, S defaults to 1
+    def predict_f(self, Xnew, S=1, key=None):
+        return super().predict_f(Xnew, S, key)
+
+    def predict_f_full_cov(self, Xnew, S=1, key=None):
+        return super().predict_f_full_cov(Xnew, S, key)
+
+    def predict_y(self, Xnew, S=1, key=None):
+        m, v = super().predict_y(Xnew, S, key)
+        return m[0], v[0]
+
+    def predict_density(self, Xnew, Ynew, S=1, key=None):
+        return super().predict_density(Xnew, Ynew, S, key)
+
 
 class GPR(Module):
     """Exact GP regression (the gpflow GPR oracle of the reference
