@@ -1,0 +1,101 @@
+"""Serving/export: serialize jitted prediction (or training) functions
+to portable StableHLO artifacts via jax.export.
+
+The reference has no serving story (its "deployment" is a live TF1
+session); for a production TPU framework the exported artifact is the
+deployable unit: it embeds the compiled computation and the model
+pytree structure, can be reloaded in a process with no model-building
+code, and runs on any compatible backend.
+
+Custom Module pytree nodes need registered (de)serializers for their
+static aux data; :func:`register_module_serialization` walks every
+Module subclass and registers a pickle-backed codec once.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Callable, Optional
+
+import jax
+
+from .utils.modules import Module
+
+__all__ = ["register_module_serialization", "export_fn", "load_exported",
+           "export_predict_y"]
+
+_registered = False
+
+
+def register_module_serialization():
+    """Register every Module subclass (recursively) with jax.export.
+    Idempotent; call before export/deserialize."""
+    global _registered
+    if _registered:
+        return
+    from jax import export
+
+    def walk(cls):
+        yield cls
+        for sub in cls.__subclasses__():
+            yield from walk(sub)
+
+    for cls in set(walk(Module)):
+        name = f"dsdgp::{cls.__module__}.{cls.__qualname__}"
+        try:
+            export.register_pytree_node_serialization(
+                cls,
+                serialized_name=name,
+                serialize_auxdata=pickle.dumps,
+                deserialize_auxdata=pickle.loads,
+            )
+        except ValueError:
+            pass  # already registered
+    _registered = True
+
+
+def export_fn(fn: Callable, *example_args, path: Optional[str] = None):
+    """Export a jittable function at the example arguments' shapes.
+    Returns the serialized bytes (and writes them to ``path`` if given).
+    """
+    register_module_serialization()
+    from jax import export
+
+    exp = export.export(jax.jit(fn))(*example_args)
+    data = exp.serialize()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+    return data
+
+
+def load_exported(data_or_path):
+    """Load a serialized artifact; returns a callable (``.call``)."""
+    register_module_serialization()
+    from jax import export
+
+    if isinstance(data_or_path, (bytes, bytearray)):
+        data = bytes(data_or_path)
+    else:
+        with open(data_or_path, "rb") as f:
+            data = f.read()
+    exp = export.deserialize(data)
+    return exp.call
+
+
+def export_predict_y(model, batch_size: int, S: int,
+                     path: Optional[str] = None):
+    """Convenience: export ``model.predict_y`` at a fixed batch size and
+    sample count.  The artifact takes (model, X, key) so refreshed
+    parameters can be fed at serving time."""
+    import jax.numpy as jnp
+
+    from .config import default_float
+
+    D = model.X_data.shape[1]
+
+    def fn(model, X, key):
+        return model.predict_y(X, S=S, key=key)
+
+    x = jnp.zeros((batch_size, D), dtype=default_float())
+    return export_fn(fn, model, x, jax.random.PRNGKey(0), path=path)

@@ -1,0 +1,41 @@
+"""Serving export: serialize predict_y to a StableHLO artifact, reload,
+and compare against the live model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose
+
+from doubly_stochastic_dgp_tpu import DGP, Gaussian, RBF
+from doubly_stochastic_dgp_tpu.serving import (export_predict_y,
+                                               load_exported)
+
+
+def test_export_roundtrip(tmp_path):
+    np.random.seed(0)
+    X = np.random.rand(16, 2)
+    Y = np.random.randn(16, 1)
+    Z = X[:6].copy()
+    m = DGP.build(X, Y, Z, [RBF.make(2), RBF.make(2)], Gaussian.make(0.1),
+                  num_samples=2)
+
+    path = str(tmp_path / "predict.stablehlo")
+    export_predict_y(m, batch_size=5, S=3, path=path)
+    served = load_exported(path)
+
+    x = jnp.asarray(np.random.rand(5, 2))
+    key = jax.random.PRNGKey(7)
+    mean_live, var_live = m.predict_y(x, S=3, key=key)
+    mean_srv, var_srv = served(m, x, key)
+    assert_allclose(np.asarray(mean_srv), np.asarray(mean_live),
+                    rtol=1e-6, atol=1e-9)
+    assert_allclose(np.asarray(var_srv), np.asarray(var_live),
+                    rtol=1e-6, atol=1e-9)
+
+    # the artifact accepts updated parameters (serving after retraining)
+    m2 = m.replace(likelihood=Gaussian.make(0.5))
+    mean2_live, var2_live = m2.predict_y(x, S=3, key=key)
+    mean2_srv, var2_srv = served(m2, x, key)
+    assert_allclose(np.asarray(var2_srv), np.asarray(var2_live),
+                    rtol=1e-6, atol=1e-9)
+    assert not np.allclose(np.asarray(var2_srv), np.asarray(var_srv))
