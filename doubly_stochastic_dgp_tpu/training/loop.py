@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..utils.modules import trainable_mask
 from .natgrad import natgrad_update
 from .optim import freeze_q_params, masked_optimizer
 
