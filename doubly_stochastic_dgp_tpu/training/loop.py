@@ -155,7 +155,9 @@ def fit(model, iterations: int, learning_rate: float = 0.01,
         natgrad_gamma: Optional[float] = None,
         ng_layers: Sequence[int] = (-1,),
         callbacks: Sequence = (), log_every: int = 100,
-        scan_steps: Optional[int] = None):
+        scan_steps: Optional[int] = None,
+        ckpt_dir: Optional[str] = None,
+        ckpt_every: Optional[int] = None):
     """Train a model; returns (model, history).  ``callbacks`` are
     called as cb(step, model, loss, stats) every ``log_every`` steps
     (the gpflow_monitor task-loop analogue, run_regression.py:87-95).
@@ -163,7 +165,12 @@ def fit(model, iterations: int, learning_rate: float = 0.01,
     ``scan_steps``: run this many optimizer steps per XLA dispatch via
     lax.scan (default: min(10, log_every) for the plain-Adam path — a
     large TPU throughput win; set 1 to disable).  The natgrad path runs
-    unscanned."""
+    unscanned.
+
+    ``ckpt_dir``: failure recovery (the reference's StoreSession restart
+    pattern, run_regression.py:93-94): (model, opt_state) are saved
+    every ``ckpt_every`` (default log_every) steps, and if a checkpoint
+    already exists in the directory, training resumes from it."""
     chunk = 1
     if natgrad_gamma is not None:
         adam_tx = masked_optimizer(
@@ -184,17 +191,29 @@ def fit(model, iterations: int, learning_rate: float = 0.01,
             step_fn = make_sgd_train_step(tx, batch_size)
         opt_state = tx.init(model)
 
+    done = 0
+    if ckpt_dir is not None:
+        from .checkpoint import restore_checkpoint
+        (model, opt_state), resumed = restore_checkpoint(
+            ckpt_dir, (model, opt_state))
+        if resumed is not None:
+            done = int(resumed)
+    ckpt_every = ckpt_every or log_every
+
     key = jax.random.PRNGKey(seed)
     history = []
     t0 = time.perf_counter()
-    last_t, last_i = t0, 0
-    done = 0
-    call_idx = 0
+    last_t, last_i = t0, done
+    call_idx = done // chunk
     while done < iterations:
         model, opt_state, loss = step_fn(model, opt_state,
                                          jax.random.fold_in(key, call_idx))
         call_idx += 1
         done += chunk
+        if ckpt_dir is not None and (done % ckpt_every < chunk
+                                     or done >= iterations):
+            from .checkpoint import save_checkpoint
+            save_checkpoint(ckpt_dir, (model, opt_state), done)
         if done % log_every < chunk or done >= iterations:
             loss = float(loss)
             now = time.perf_counter()

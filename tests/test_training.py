@@ -110,6 +110,28 @@ def test_checkpoint_roundtrip(tmp_path):
     assert_allclose(float(l1), float(l2), rtol=1e-12)
 
 
+def test_fit_auto_resume(tmp_path):
+    """Failure recovery: a fit interrupted after N steps resumes from
+    the checkpoint and matches an uninterrupted run exactly."""
+    X, Y = _step_data(20)
+    d1 = str(tmp_path / "a")
+    d2 = str(tmp_path / "b")
+
+    # uninterrupted run: 40 iterations in one go (scan chunks of 10)
+    m_full, h_full = fit(_model(X, Y, M=4, L=1), iterations=40,
+                         learning_rate=0.02, log_every=10, ckpt_dir=d1)
+
+    # interrupted run: 20 iterations, then "crash", then resume to 40
+    m_half, _ = fit(_model(X, Y, M=4, L=1), iterations=20,
+                    learning_rate=0.02, log_every=10, ckpt_dir=d2)
+    m_res, h_res = fit(_model(X, Y, M=4, L=1), iterations=40,
+                       learning_rate=0.02, log_every=10, ckpt_dir=d2)
+
+    for a, b in zip(jax.tree_util.tree_leaves(m_full),
+                    jax.tree_util.tree_leaves(m_res)):
+        assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
 def test_checkpoint_orbax_roundtrip(tmp_path):
     X, Y = _step_data(10)
     m = _model(X, Y, M=4, L=1)
