@@ -89,7 +89,7 @@ class GPR(Module):
         return self.layer.set_data(self.X_data, None, self.Y_data,
                                    self.likelihood.variance.value)
 
-    def log_likelihood(self):
+    def log_likelihood(self, X=None, Y=None, key=None):
         return self._bound_layer().build_likelihood()
 
     elbo = log_likelihood
@@ -132,7 +132,7 @@ class SGPR(Module):
         return self.layer.set_data(self.X_data, None, self.Y_data,
                                    self.likelihood.variance.value)
 
-    def log_likelihood(self):
+    def log_likelihood(self, X=None, Y=None, key=None):
         return self._bound_layer().build_likelihood()
 
     elbo = log_likelihood
@@ -199,7 +199,7 @@ class GPRFITC(Module):
         c = tri_solve(LB, Aerr, lower=True)            # (M, D)
         return dict(L=L, LB=LB, c=c, g=g, err=err)
 
-    def log_likelihood(self):
+    def log_likelihood(self, X=None, Y=None, key=None):
         cm = self._common()
         g, LB, c, err = cm["g"], cm["LB"], cm["c"], cm["err"]
         N, D = err.shape
