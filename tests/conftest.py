@@ -14,6 +14,20 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The container's sitecustomize registers (and initializes) the tunneled
+# TPU backend in every interpreter before pytest starts, so the env vars
+# above can come too late — force the platform and drop any
+# already-initialized backends.
+try:
+    jax.config.update("jax_platforms", "cpu")
+    if jax.default_backend() != "cpu" or len(jax.devices()) < 8:
+        import jax.extend.backend as _xb
+        _xb.clear_backends()
+except Exception:
+    pass
+assert jax.default_backend() == "cpu", (
+    "tests must run on the CPU backend; got " + jax.default_backend())
+
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: the suite compiles many small x64 programs;
 # repeat runs (CI / the driver) hit the cache and run in a fraction of
