@@ -124,6 +124,65 @@ def gather_rows(data: np.ndarray, idx: np.ndarray) -> np.ndarray:
     return out
 
 
+class PrefetchingLoader:
+    """Background-threaded minibatch pipeline over host arrays.
+
+    A worker thread keeps a bounded queue of ready minibatches (gathered
+    with the native C++ row-copy), so host batch preparation overlaps
+    device compute — the data-path pattern for datasets too large to
+    keep on device (where the in-jit gather of
+    training.loop.make_sgd_train_step does not apply).  The ctypes call
+    releases the GIL during the memcpy loop, so the worker genuinely
+    overlaps Python-side training.
+    """
+
+    def __init__(self, X: np.ndarray, Y: np.ndarray, batch_size: int,
+                 seed: int = 0, depth: int = 4, device=None):
+        import queue
+        self._stream = MinibatchStream(X, Y, batch_size, seed)
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._device = device
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        import jax
+        while not self._stop.is_set():
+            xb, yb = self._stream.next()
+            if self._device is not None:
+                xb = jax.device_put(xb, self._device)
+                yb = jax.device_put(yb, self._device)
+            try:
+                self._q.put((xb, yb), timeout=0.5)
+            except Exception:
+                continue
+
+    def next(self):
+        while True:
+            try:
+                return self._q.get(timeout=1.0)
+            except Exception:
+                if self._stop.is_set():
+                    raise StopIteration
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=2.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 class MinibatchStream:
     """Epoch-shuffled minibatch iterator over host arrays (the GPflow
     ``Minibatch`` analogue for the host-side data path; seeded and

@@ -8,6 +8,7 @@ import pytest
 from numpy.testing import assert_allclose
 
 from doubly_stochastic_dgp_tpu.data.native import (MinibatchStream,
+                                                   PrefetchingLoader,
                                                    gather_rows,
                                                    native_available,
                                                    read_csv,
@@ -55,6 +56,20 @@ def test_gather_rows_parity(csv_file):
     _, data = csv_file
     idx = shuffled_indices(data.shape[0], 7)[:64]
     assert_allclose(gather_rows(data, idx), data[idx])
+
+
+def test_prefetching_loader_matches_stream():
+    """The background pipeline must yield exactly the batches of the
+    equivalent synchronous stream (same seed)."""
+    X = np.arange(60, dtype=float)[:, None]
+    Y = 2 * X
+    sync = MinibatchStream(X, Y, batch_size=10, seed=3)
+    with PrefetchingLoader(X, Y, batch_size=10, seed=3, depth=2) as pre:
+        for _ in range(12):  # two epochs
+            xs, ys = sync.next()
+            xp, yp = pre.next()
+            assert_allclose(xp, xs)
+            assert_allclose(yp, ys)
 
 
 def test_minibatch_stream_covers_epoch():
