@@ -227,7 +227,11 @@ class SVGPLayer(Layer):
             alpha = P.T @ self.q_mu.value                      # (M, D)
             W = jnp.einsum("ij,djk,lk->dil", P.T, SK, P.T)     # (D, M, M)
             mean = Kuf.T @ alpha                               # (B, D)
-            T = jnp.einsum("dij,jb->dib", W, Kuf)              # (D, M, B)
+            # flatten the D_out batch into one (D*M, M) @ (M, B) matmul:
+            # one large MXU op instead of D small batched ones
+            D_, M_, _ = W.shape
+            T = (W.reshape(D_ * M_, M_) @ Kuf).reshape(
+                D_, M_, Kuf.shape[1])                          # (D, M, B)
             delta_cov = jnp.einsum("ib,dib->db", Kuf, T)       # (D, B)
             Kff = self.kern.Kdiag(X)
             var = jnp.maximum((Kff[None] + delta_cov).T, 0.0)  # (B, D)
