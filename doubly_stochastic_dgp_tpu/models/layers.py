@@ -117,6 +117,29 @@ def _fusable_rbf(kern):
     return None
 
 
+def _host_gram(kern, Z):
+    """Build-time gram on the CPU backend: on TPU, eager f32 matmuls run
+    at reduced (bf16-class) precision and the sq-dist cancellation can
+    leave the gram indefinite beyond any reasonable jitter."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return np.asarray(kern.K(jnp.asarray(Z, dtype=default_float())),
+                          dtype=np.float64)
+
+
+def _host_cholesky(K, jitter):
+    """numpy Cholesky with escalating jitter (build-time analogue of
+    ops.linalg.safe_cholesky)."""
+    M = K.shape[0]
+    for factor in (1.0, 1e2, 1e4, 1e6):
+        try:
+            return np.linalg.cholesky(K + np.eye(M) * (jitter * factor))
+        except np.linalg.LinAlgError:
+            continue
+    raise np.linalg.LinAlgError(
+        "gram not positive definite even with escalated jitter")
+
+
 def _init_q_sqrt(Z, kern, num_outputs, white):
     """Identity init (white) or prior Cholesky init (non-white), as at
     reference layers.py:149-163."""
@@ -124,8 +147,8 @@ def _init_q_sqrt(Z, kern, num_outputs, white):
     if white:
         q = np.tile(np.eye(M)[None], [num_outputs, 1, 1])
     else:
-        Ku = np.asarray(kern.K(jnp.asarray(Z, dtype=default_float())))
-        Lu = np.linalg.cholesky(Ku + np.eye(M) * default_jitter())
+        Ku = _host_gram(kern, Z)
+        Lu = _host_cholesky(Ku, default_jitter())
         q = np.tile(Lu[None], [num_outputs, 1, 1])
     return q
 
@@ -336,8 +359,7 @@ class GPMCLayer(Layer):
         if mean_function is None:
             mean_function = Zero(output_dim=num_outputs)
         N = X.shape[0]
-        Ku = np.asarray(kern.K(jnp.asarray(X))) + np.eye(N) * default_jitter()
-        Lu = np.linalg.cholesky(Ku)
+        Lu = _host_cholesky(_host_gram(kern, X), default_jitter())
         q_mu = np.zeros((N, num_outputs))
         return cls(
             kern=kern,
