@@ -28,6 +28,7 @@ from .models.mean_functions import Constant as ConstantMean
 from .models.mean_functions import Identity, Linear, Zero
 from .models.single_layer import GPR, GPRFITC, SGPR, SVGP
 from .models.zoo import DGPCollapsed, DGPHeinonen, DGPHeteroscedastic
-from .utils.modules import Module, Param, log_prior, trainable_mask
+from .utils.modules import (Module, Param, log_prior, trainable_mask,
+                            with_config)
 
 __version__ = "0.1.0"

@@ -7,6 +7,15 @@ utils.py:41,47, tests/test_dgp.py:7-11) — redesigned as a small explicit
 config object with context-manager overrides instead of a global TF graph
 setting.
 
+Jit-safety contract: the global config is a **build-time** convenience.
+Model constructors (``*.make`` / ``*.build``) snapshot ``jitter`` /
+``solve_mode`` / ``use_pallas`` into *static* pytree fields, which are
+part of the jit cache key — so a jitted step always runs with the
+numerics the model was built with, and flipping a mode is an explicit
+``model = with_config(model, solve_mode=...)`` (which triggers a
+retrace).  Mutating the global config after a model is built does NOT
+affect that model; it only affects subsequently built models.
+
 TPU-first dtype policy: the reference runs float64 end-to-end on CPU.  On
 TPU, float32 (with a larger jitter) is the performance mode; float64 is
 used on CPU for parity tests.  ``set_default_float('float64')`` enables
@@ -17,7 +26,6 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
-import threading
 
 import jax
 import jax.numpy as jnp
@@ -51,21 +59,15 @@ class Config:
     use_pallas: bool = False
 
 
-_local = threading.local()
-
-
-def _cfg() -> Config:
-    if not hasattr(_local, "cfg"):
-        _local.cfg = Config()
-    return _local.cfg
-
-
-#: module-level handle (read-only use preferred; mutate via setters below)
-config = _cfg()
+# A single process-global Config: setters and temp_config mutate this one
+# object, so every importer and every thread observes the same settings
+# (a per-thread copy would silently diverge for background loaders and
+# callbacks).
+config = Config()
 
 
 def default_float():
-    dt = jnp.dtype(_cfg().float_dtype)
+    dt = jnp.dtype(config.float_dtype)
     if dt == jnp.float64 and not jax.config.jax_enable_x64:
         # x64 disabled (e.g. TPU runs): fall back to float32 rather than
         # emitting silently-truncating float64 requests
@@ -74,18 +76,18 @@ def default_float():
 
 
 def default_jitter() -> float:
-    return _cfg().jitter
+    return config.jitter
 
 
 def set_default_float(dtype) -> None:
     dtype = jnp.dtype(dtype)
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
-    _cfg().float_dtype = dtype.name
+    config.float_dtype = dtype.name
 
 
 def set_default_jitter(value: float) -> None:
-    _cfg().jitter = float(value)
+    config.jitter = float(value)
 
 
 def as_default_float(x):
@@ -94,18 +96,21 @@ def as_default_float(x):
 
 @contextlib.contextmanager
 def temp_config(**overrides):
-    """Temporarily override config fields (the ``temp_settings`` analogue)."""
-    cfg = _cfg()
-    saved = dataclasses.asdict(cfg)
+    """Temporarily override config fields (the ``temp_settings`` analogue).
+
+    Build-time only: models snapshot the numerics config at construction,
+    so wrap *model building* in this context (evaluating a previously
+    built model under a different temp_config has no effect on it)."""
+    saved = dataclasses.asdict(config)
     try:
         for k, v in overrides.items():
-            if not hasattr(cfg, k):
+            if not hasattr(config, k):
                 raise AttributeError(f"unknown config field {k!r}")
             if k == "float_dtype":
                 set_default_float(v)
             else:
-                setattr(cfg, k, v)
-        yield cfg
+                setattr(config, k, v)
+        yield config
     finally:
         for k, v in saved.items():
-            setattr(cfg, k, v)
+            setattr(config, k, v)

@@ -143,27 +143,41 @@ class PrefetchingLoader:
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._device = device
         self._stop = threading.Event()
+        self._worker_exc: BaseException | None = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self):
         import jax
-        while not self._stop.is_set():
-            xb, yb = self._stream.next()
-            if self._device is not None:
-                xb = jax.device_put(xb, self._device)
-                yb = jax.device_put(yb, self._device)
-            try:
-                self._q.put((xb, yb), timeout=0.5)
-            except Exception:
-                continue
+        import queue
+        try:
+            while not self._stop.is_set():
+                xb, yb = self._stream.next()
+                if self._device is not None:
+                    xb = jax.device_put(xb, self._device)
+                    yb = jax.device_put(yb, self._device)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put((xb, yb), timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surface in next(), don't die silently
+            self._worker_exc = e
 
     def next(self):
+        import queue
         while True:
             try:
                 return self._q.get(timeout=1.0)
-            except Exception:
+            except queue.Empty:
                 if self._stop.is_set():
+                    raise StopIteration
+                if not self._thread.is_alive():
+                    if self._worker_exc is not None:
+                        raise RuntimeError(
+                            "PrefetchingLoader worker died"
+                        ) from self._worker_exc
                     raise StopIteration
 
     def close(self):

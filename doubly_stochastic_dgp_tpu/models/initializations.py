@@ -1,14 +1,13 @@
 """Layer-stack construction: PCA/identity skip connections and the
 input-propagation variant.
 
-Rebuilds /root/reference/doubly_stochastic_dgp/layer_initializations.py:
-  - dim-matched layers get an Identity mean function (:31)
-  - stepping down uses the PCA projection W = V[:dim_out]^T from the SVD
-    of the running inputs (:34-37)
-  - stepping up uses [I | 0] padding (:38-39)
-  - the Linear(W) mean function is frozen (:41-42) and the running
-    X/Z are projected forward to initialize deeper inducing points (:46-48)
-All of this is host-side numpy at build time (no device work).
+Provides the capability of
+/root/reference/doubly_stochastic_dgp/layer_initializations.py:
+dim-matched inner layers get an Identity mean function; narrowing layers
+get a frozen PCA projection; widening layers get frozen
+identity-plus-zero padding; the running inputs/inducing points are
+projected forward so deeper layers are initialized in the projected
+space.  All of this is host-side numpy at build time (no device work).
 """
 
 from __future__ import annotations
@@ -24,75 +23,109 @@ from .mean_functions import Identity, Linear, Zero
 __all__ = ["init_layers_linear", "init_layers_input_prop"]
 
 
+def _linear_projection(dim_in: int, dim_out: int,
+                       running_inputs: np.ndarray) -> np.ndarray:
+    """(dim_in, dim_out) inter-layer projection for mismatched widths.
+
+    Narrowing uses the top principal directions of the running inputs
+    (right singular vectors); widening embeds the identity and pads the
+    new coordinates with zeros.  (Capability of reference
+    layer_initializations.py:34-39.)
+    """
+    if dim_in > dim_out:
+        _, _, vt = np.linalg.svd(running_inputs, full_matrices=False)
+        return np.ascontiguousarray(vt[:dim_out].T)
+    return np.pad(np.eye(dim_in), ((0, 0), (0, dim_out - dim_in)))
+
+
 def init_layers_linear(X, Y, Z, kernels, num_outputs=None,
                        mean_function=None, Layer=SVGPLayer, white=False):
-    X = np.asarray(X, dtype=default_float())
+    """Build the paper's SVGP stack with linear/PCA skip connections.
+
+    Layer l maps width kernels[l].input_dim -> kernels[l+1].input_dim
+    (the last layer maps to ``num_outputs`` with the user mean function).
+    Frozen Linear mean functions carry the projections; the running X/Z
+    are pushed through each projection to seed deeper inducing points.
+    """
+    dtype = default_float()
+    X = np.asarray(X, dtype=dtype)
     Y = np.asarray(Y)
-    Z = np.asarray(Z, dtype=default_float())
     num_outputs = num_outputs or Y.shape[1]
     if mean_function is None:
         mean_function = Zero(output_dim=num_outputs)
 
+    widths_in = [k.input_dim for k in kernels]
+    widths_out = widths_in[1:] + [num_outputs]
+
+    inputs_running = np.array(X, dtype=dtype)
+    inducing_running = np.asarray(Z, dtype=dtype).copy()
     layers = []
-    X_running, Z_running = X.copy(), Z.copy()
-    for kern_in, kern_out in zip(kernels[:-1], kernels[1:]):
-        dim_in = kern_in.input_dim
-        dim_out = kern_out.input_dim
-        if dim_in == dim_out:
+    for l, kern in enumerate(kernels):
+        last = l == len(kernels) - 1
+        d_in, d_out = widths_in[l], widths_out[l]
+        project = None
+        if last:
+            mf = mean_function
+        elif d_in == d_out:
             mf = Identity()
         else:
-            if dim_in > dim_out:  # stepping down: PCA projection
-                _, _, V = np.linalg.svd(X_running, full_matrices=False)
-                W = V[:dim_out, :].T
-            else:                 # stepping up: identity + zero padding
-                W = np.concatenate(
-                    [np.eye(dim_in), np.zeros((dim_in, dim_out - dim_in))], 1)
-            mf = Linear.make(W, trainable=False)
-
-        layers.append(Layer.make(kern_in, Z_running, dim_out, mf,
+            project = _linear_projection(d_in, d_out, inputs_running)
+            mf = Linear.make(project, trainable=False)
+        layers.append(Layer.make(kern, inducing_running, d_out, mf,
                                  white=white))
-
-        if dim_in != dim_out:
-            Z_running = Z_running.dot(W)
-            X_running = X_running.dot(W)
-
-    layers.append(Layer.make(kernels[-1], Z_running, num_outputs,
-                             mean_function, white=white))
+        if project is not None:
+            inputs_running = inputs_running @ project
+            inducing_running = inducing_running @ project
     return layers
+
+
+def _noise_padded_inducing(Z: np.ndarray, target_width: int,
+                           kern_std: float,
+                           rng: np.random.RandomState) -> np.ndarray:
+    """Pad inducing inputs out to ``target_width`` with random
+    coordinates scaled by twice the kernel amplitude (the extra
+    coordinates live in sampled-output space, whose scale is set by the
+    kernel; capability of reference layer_initializations.py:69-78)."""
+    extra = target_width - Z.shape[1]
+    if extra == 0:
+        return Z
+    noise = rng.randn(Z.shape[0], extra) * (2.0 * kern_std)
+    return np.concatenate([Z, noise], axis=1)
 
 
 def init_layers_input_prop(X, Y, Z, kernels, num_outputs=None,
                            mean_function=None, Layer=SVGPLayer, white=False,
                            rng: Optional[np.random.RandomState] = None):
-    """Input-propagation stack: every layer sees the raw input
-    concatenated; inducing points are padded with kernel-scaled noise
-    (reference layer_initializations.py:55-79)."""
-    X = np.asarray(X, dtype=default_float())
+    """Input-propagation stack: every layer sees the raw D input dims
+    concatenated onto the previous layer's samples, so layer l takes
+    width D + hidden_{l-1} and its inducing inputs need noise padding in
+    the hidden coordinates."""
+    dtype = default_float()
+    X = np.asarray(X, dtype=dtype)
     Y = np.asarray(Y)
-    Z = np.asarray(Z, dtype=default_float())
+    Z = np.asarray(Z, dtype=dtype)
     num_outputs = num_outputs or Y.shape[1]
     if mean_function is None:
         mean_function = Zero(output_dim=num_outputs)
     rng = rng or np.random.RandomState(0)
     D = X.shape[1]
-    M = Z.shape[0]
+
+    def amplitude(kern):
+        return float(np.asarray(kern.variance.value)) ** 0.5
 
     layers = []
-    for kern_in, kern_out in zip(kernels[:-1], kernels[1:]):
-        dim_in = kern_in.input_dim
-        dim_out = kern_out.input_dim - D
-        std_in = float(np.asarray(kern_in.variance.value)) ** 0.5
-        pad = rng.randn(M, dim_in - D) * 2.0 * std_in
-        Z_padded = np.concatenate([Z, pad], 1)
-        layers.append(Layer.make(kern_in, Z_padded, dim_out,
-                                 Zero(output_dim=dim_out), white=white,
-                                 input_prop_dim=D))
-
-    dim_in = kernels[-1].input_dim
-    std_in = (float(np.asarray(kernels[-2].variance.value)) ** 0.5
-              if dim_in > D else 1.0)
-    pad = rng.randn(M, dim_in - D) * 2.0 * std_in
-    Z_padded = np.concatenate([Z, pad], 1)
-    layers.append(Layer.make(kernels[-1], Z_padded, num_outputs,
-                             mean_function, white=white))
+    for l, kern in enumerate(kernels):
+        last = l == len(kernels) - 1
+        width = kern.input_dim
+        if last:
+            d_out, mf, prop = num_outputs, mean_function, None
+            # hidden-coordinate scale comes from the previous kernel
+            std = amplitude(kernels[l - 1]) if width > D else 1.0
+        else:
+            d_out = kernels[l + 1].input_dim - D
+            mf, prop = Zero(output_dim=d_out), D
+            std = amplitude(kern)
+        Zl = _noise_padded_inducing(Z, width, std, rng)
+        layers.append(Layer.make(kern, Zl, d_out, mf, white=white,
+                                 input_prop_dim=prop))
     return layers

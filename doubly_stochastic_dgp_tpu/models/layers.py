@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import default_float, default_jitter
+from ..config import config, default_float, default_jitter
 from ..ops.linalg import (add_jitter, gauss_kl_nonwhite, gauss_kl_white,
                           inv_lower, mvn_logpdf, reparameterize,
                           safe_cholesky, tri_solve)
@@ -79,7 +79,8 @@ class Layer(Module):
             z = jax.random.normal(key, (S, N, D), dtype=mean.dtype)
         else:
             z = jnp.broadcast_to(jnp.asarray(z, dtype=mean.dtype), (S, N, D))
-        samples = reparameterize(mean, var, z, full_cov=full_cov)
+        samples = reparameterize(mean, var, z, full_cov=full_cov,
+                                 jitter=getattr(self, "jitter", None))
 
         p = getattr(self, "input_prop_dim", None)
         if p:
@@ -140,7 +141,7 @@ def _host_cholesky(K, jitter):
         "gram not positive definite even with escalated jitter")
 
 
-def _init_q_sqrt(Z, kern, num_outputs, white):
+def _init_q_sqrt(Z, kern, num_outputs, white, jitter):
     """Identity init (white) or prior Cholesky init (non-white), as at
     reference layers.py:149-163."""
     M = Z.shape[0]
@@ -148,7 +149,7 @@ def _init_q_sqrt(Z, kern, num_outputs, white):
         q = np.tile(np.eye(M)[None], [num_outputs, 1, 1])
     else:
         Ku = _host_gram(kern, Z)
-        Lu = _host_cholesky(Ku, default_jitter())
+        Lu = _host_cholesky(Ku, jitter)
         q = np.tile(Lu[None], [num_outputs, 1, 1])
     return q
 
@@ -168,16 +169,27 @@ class SVGPLayer(Layer):
     num_outputs_: int = static_field(default=1)
     white: bool = static_field(default=False)
     input_prop_dim: Optional[int] = static_field(default=None)
+    # numerics config, snapshotted from the global config at build time.
+    # Static (pytree aux) fields => part of the jit cache key: flipping
+    # them via .replace()/with_config() retraces with the new behavior;
+    # mutating the global config after build has no effect (jit-safe).
+    jitter: float = static_field(default=1e-6)
+    solve_mode: str = static_field(default="solve")
+    use_pallas: bool = static_field(default=False)
 
     @classmethod
     def make(cls, kern, Z, num_outputs, mean_function=None, white=False,
-             input_prop_dim=None):
+             input_prop_dim=None, jitter=None, solve_mode=None,
+             use_pallas=None):
         Z = np.asarray(Z, dtype=default_float())
         M = Z.shape[0]
         if mean_function is None:
             mean_function = Zero(output_dim=num_outputs)
+        jitter = default_jitter() if jitter is None else float(jitter)
+        solve_mode = config.solve_mode if solve_mode is None else solve_mode
+        use_pallas = config.use_pallas if use_pallas is None else use_pallas
         q_mu = np.zeros((M, num_outputs))
-        q_sqrt = _init_q_sqrt(Z, kern, num_outputs, white)
+        q_sqrt = _init_q_sqrt(Z, kern, num_outputs, white, jitter)
         return cls(
             kern=kern,
             Z=Param.create(Z),
@@ -187,6 +199,9 @@ class SVGPLayer(Layer):
             num_outputs_=num_outputs,
             white=white,
             input_prop_dim=input_prop_dim,
+            jitter=jitter,
+            solve_mode=solve_mode,
+            use_pallas=use_pallas,
         )
 
     @property
@@ -200,7 +215,7 @@ class SVGPLayer(Layer):
     def _chol_Kuu(self):
         Z = self.Z.value
         K = self.kern.K(Z)
-        return add_jitter(K), safe_cholesky(K)
+        return add_jitter(K, self.jitter), safe_cholesky(K, self.jitter)
 
     def _SK(self, Ku):
         """q_sqrt q_sqrt^T - {I | Ku}: the (D|1, M, M) covariance core."""
@@ -218,7 +233,7 @@ class SVGPLayer(Layer):
         mean = A^T q_mu + m(X),   A = Lu^{-1} Kuf (white) or Ku^{-1} Kuf
         var  = Kff + A^T (q_sqrt q_sqrt^T - {I | Ku}) A
 
-        Two execution strategies (config.solve_mode):
+        Two execution strategies (the static ``solve_mode`` field):
           'solve'   — triangular solves against the (M, B) batch, the
                       reference formulation (max accuracy; parity mode).
           'inverse' — TPU fast path: precompute alpha = P q_mu and
@@ -230,9 +245,7 @@ class SVGPLayer(Layer):
                       Mathematically identical; avoids the two big
                       sequential triangular solves entirely.
         """
-        from ..config import config
-
-        if (config.use_pallas and not full_cov
+        if (self.use_pallas and not full_cov
                 and _fusable_rbf(self.kern) is not None):
             return self._conditional_fused(X)
 
@@ -240,7 +253,7 @@ class SVGPLayer(Layer):
         Kuf = self.kern.K(self.Z.value, X)                     # (M, B)
         SK = self._SK(Ku)
 
-        if config.solve_mode == "inverse" and not full_cov:
+        if self.solve_mode == "inverse" and not full_cov:
             Li = inv_lower(Lu)                                 # (M, M)
             if self.white:
                 # A = Lu^{-1} Kuf: alpha = Li^T q_mu-projection
@@ -260,9 +273,10 @@ class SVGPLayer(Layer):
             var = jnp.maximum((Kff[None] + delta_cov).T, 0.0)  # (B, D)
             return mean + self.mean_function(X), var
 
-        A = tri_solve(Lu, Kuf, lower=True)
+        A = tri_solve(Lu, Kuf, lower=True, mode=self.solve_mode)
         if not self.white:
-            A = tri_solve(Lu, A, lower=True, trans=True)       # Ku^{-1} Kuf
+            A = tri_solve(Lu, A, lower=True, trans=True,
+                          mode=self.solve_mode)                # Ku^{-1} Kuf
 
         mean = A.T @ self.q_mu.value                           # (B, D)
 
@@ -321,9 +335,9 @@ class SGPMCLayer(SVGPLayer):
 
     @classmethod
     def make(cls, kern, Z, num_outputs, mean_function=None, white=False,
-             input_prop_dim=None):
+             input_prop_dim=None, **numerics):
         base = SVGPLayer.make(kern, Z, num_outputs, mean_function, white,
-                              input_prop_dim)
+                              input_prop_dim, **numerics)
         return cls(
             kern=base.kern, Z=base.Z,
             q_mu=base.q_mu.replace(prior=("gaussian", 0.0, 1.0)),
@@ -331,6 +345,8 @@ class SGPMCLayer(SVGPLayer):
             mean_function=base.mean_function,
             num_outputs_=num_outputs, white=white,
             input_prop_dim=input_prop_dim,
+            jitter=base.jitter, solve_mode=base.solve_mode,
+            use_pallas=base.use_pallas,
         )
 
     def KL(self):
@@ -351,15 +367,19 @@ class GPMCLayer(Layer):
     Lu: Any = None                 # (N, N) buffer, chol(K(X) + jitter I)
     num_outputs_: int = static_field(default=1)
     input_prop_dim: Optional[int] = static_field(default=None)
+    jitter: float = static_field(default=1e-6)
+    solve_mode: str = static_field(default="solve")
 
     @classmethod
     def make(cls, kern, X, num_outputs, mean_function=None,
-             input_prop_dim=None):
+             input_prop_dim=None, jitter=None, solve_mode=None):
         X = np.asarray(X, dtype=default_float())
         if mean_function is None:
             mean_function = Zero(output_dim=num_outputs)
         N = X.shape[0]
-        Lu = _host_cholesky(_host_gram(kern, X), default_jitter())
+        jitter = default_jitter() if jitter is None else float(jitter)
+        solve_mode = config.solve_mode if solve_mode is None else solve_mode
+        Lu = _host_cholesky(_host_gram(kern, X), jitter)
         q_mu = np.zeros((N, num_outputs))
         return cls(
             kern=kern,
@@ -369,6 +389,8 @@ class GPMCLayer(Layer):
             Lu=jnp.asarray(Lu, dtype=default_float()),
             num_outputs_=num_outputs,
             input_prop_dim=input_prop_dim,
+            jitter=jitter,
+            solve_mode=solve_mode,
         )
 
     @property
@@ -388,7 +410,8 @@ class GPMCLayer(Layer):
         """Whitened dense conditional with q_sqrt=None (the
         gpflow.conditionals.conditional call at reference layers.py:289-293)."""
         Kuf = self.kern.K(self.X_fixed, Xnew)                  # (N, B)
-        A = tri_solve(self.Lu, Kuf, lower=True)                # (N, B)
+        A = tri_solve(self.Lu, Kuf, lower=True,
+                      mode=self.solve_mode)                    # (N, B)
         mean = A.T @ self.q_mu.value + self.mean_function(Xnew)
         if full_cov:
             var = self.kern.K(Xnew) - A.T @ A                  # (B, B)
@@ -425,11 +448,18 @@ class GPRLayer(CollapsedLayer):
     _lik_variance: Any = None
     num_outputs_: int = static_field(default=1)
     input_prop_dim: Optional[int] = static_field(default=None)
+    jitter: float = static_field(default=1e-6)
+    solve_mode: str = static_field(default="solve")
 
     @classmethod
-    def make(cls, kern, mean_function, num_outputs):
+    def make(cls, kern, mean_function, num_outputs, jitter=None,
+             solve_mode=None):
         return cls(kern=kern, mean_function=mean_function,
-                   num_outputs_=num_outputs)
+                   num_outputs_=num_outputs,
+                   jitter=(default_jitter() if jitter is None
+                           else float(jitter)),
+                   solve_mode=(config.solve_mode if solve_mode is None
+                               else solve_mode))
 
     @property
     def num_outputs(self):
@@ -444,8 +474,9 @@ class GPRLayer(CollapsedLayer):
         X = self._X_mean
         L = self._chol()
         Kx = self.kern.K(X, Xnew)                               # (N, B)
-        A = tri_solve(L, Kx, lower=True)
-        V = tri_solve(L, self._Y - self.mean_function(X), lower=True)
+        A = tri_solve(L, Kx, lower=True, mode=self.solve_mode)
+        V = tri_solve(L, self._Y - self.mean_function(X), lower=True,
+                      mode=self.solve_mode)
         fmean = A.T @ V + self.mean_function(Xnew)
         D_Y = self._Y.shape[1]
         if full_cov:
@@ -476,12 +507,19 @@ class SGPRLayer(CollapsedLayer):
     _lik_variance: Any = None
     num_outputs_: int = static_field(default=1)
     input_prop_dim: Optional[int] = static_field(default=None)
+    jitter: float = static_field(default=1e-6)
+    solve_mode: str = static_field(default="solve")
 
     @classmethod
-    def make(cls, kern, Z, num_outputs, mean_function):
+    def make(cls, kern, Z, num_outputs, mean_function, jitter=None,
+             solve_mode=None):
         Z = np.asarray(Z, dtype=default_float())
         return cls(kern=kern, Z=Param.create(Z),
-                   mean_function=mean_function, num_outputs_=num_outputs)
+                   mean_function=mean_function, num_outputs_=num_outputs,
+                   jitter=(default_jitter() if jitter is None
+                           else float(jitter)),
+                   solve_mode=(config.solve_mode if solve_mode is None
+                               else solve_mode))
 
     @property
     def num_outputs(self):
@@ -498,26 +536,27 @@ class SGPRLayer(CollapsedLayer):
         M = Z.shape[0]
         variance = self._lik_variance
         sigma = jnp.sqrt(variance)
-        L = safe_cholesky(self.kern.K(Z))
+        mode = self.solve_mode
+        L = safe_cholesky(self.kern.K(Z), self.jitter)
         if self._X_var is None:
             err = self._Y - self.mean_function(self._X_mean)
             Kuf = self.kern.K(Z, self._X_mean)
-            A = tri_solve(L, Kuf, lower=True) / sigma
+            A = tri_solve(L, Kuf, lower=True, mode=mode) / sigma
             AAT = A @ A.T
             B = AAT + jnp.eye(M, dtype=A.dtype)
             LB = jnp.linalg.cholesky(B)
             Aerr = A @ err
-            c = tri_solve(LB, Aerr, lower=True) / sigma
+            c = tri_solve(LB, Aerr, lower=True, mode=mode) / sigma
             return dict(L=L, A=A, AAT=AAT, LB=LB, c=c, err=err)
         else:
             psi0, psi1, psi2s = psi_statistics(self.kern, self._X_mean,
                                                self._X_var, Z)
-            A = tri_solve(L, psi1.T, lower=True) / sigma
-            tmp = tri_solve(L, psi2s, lower=True)
-            AAT = tri_solve(L, tmp.T, lower=True) / variance
+            A = tri_solve(L, psi1.T, lower=True, mode=mode) / sigma
+            tmp = tri_solve(L, psi2s, lower=True, mode=mode)
+            AAT = tri_solve(L, tmp.T, lower=True, mode=mode) / variance
             B = AAT + jnp.eye(M, dtype=A.dtype)
             LB = jnp.linalg.cholesky(B)
-            c = tri_solve(LB, A @ self._Y, lower=True) / sigma
+            c = tri_solve(LB, A @ self._Y, lower=True, mode=mode) / sigma
             return dict(L=L, A=A, AAT=AAT, LB=LB, c=c, psi0=psi0)
 
     def build_likelihood(self):
@@ -554,8 +593,8 @@ class SGPRLayer(CollapsedLayer):
         cm = self._common()
         L, LB, c = cm["L"], cm["LB"], cm["c"]
         Kus = self.kern.K(self.Z.value, Xnew)
-        tmp1 = tri_solve(L, Kus, lower=True)
-        tmp2 = tri_solve(LB, tmp1, lower=True)
+        tmp1 = tri_solve(L, Kus, lower=True, mode=self.solve_mode)
+        tmp2 = tri_solve(LB, tmp1, lower=True, mode=self.solve_mode)
         mean = tmp2.T @ c
         D_Y = self._Y.shape[1]
         if full_cov:

@@ -169,9 +169,12 @@ class GPRFITC(Module):
     likelihood: Gaussian = None
     X_data: Any = None
     Y_data: Any = None
+    jitter: float = static_field(default=1e-6)
 
     @classmethod
-    def build(cls, X, Y, kern, Z, mean_function=None, noise_variance=1.0):
+    def build(cls, X, Y, kern, Z, mean_function=None, noise_variance=1.0,
+              jitter=None):
+        from ..config import default_jitter
         X = jnp.asarray(X, dtype=default_float())
         Y = jnp.asarray(Y, dtype=default_float())
         mf = mean_function or Zero(output_dim=Y.shape[1])
@@ -179,14 +182,16 @@ class GPRFITC(Module):
                    Z=Param.create(np.asarray(Z, dtype=default_float())),
                    mean_function=mf,
                    likelihood=Gaussian.make(noise_variance),
-                   X_data=X, Y_data=Y)
+                   X_data=X, Y_data=Y,
+                   jitter=(default_jitter() if jitter is None
+                           else float(jitter)))
 
     def _common(self):
         X, Y = self.X_data, self.Y_data
         Z = self.Z.value
         M = Z.shape[0]
         sigma2 = self.likelihood.variance.value
-        L = safe_cholesky(self.kern.K(Z))
+        L = safe_cholesky(self.kern.K(Z), self.jitter)
         Kuf = self.kern.K(Z, X)                        # (M, N)
         A = tri_solve(L, Kuf, lower=True)              # (M, N)
         Qff = jnp.sum(A ** 2, axis=0)                  # (N,)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-from ..config import default_float, default_jitter, config
+from ..config import default_jitter
 
 __all__ = [
     "add_jitter",
@@ -41,25 +41,40 @@ def add_jitter(K, jitter=None):
 
 
 def safe_cholesky(K, jitter=None):
-    """Cholesky of K + jitter*I with jitter escalation.
+    """Cholesky of K + jitter*I with grad-safe jitter escalation.
 
     In float32 the M x M kernel gram can be ill-conditioned enough
     (long lengthscales -> near-all-ones K) that the base jitter fails;
-    instead of NaN-ing the whole training step, retry with 100x and
-    10000x jitter and take the first finite factor.  The extra
-    factorizations are M x M (trivial next to the N-batch work) and the
-    selects are branch-free under jit.  In float64 the first attempt
-    virtually always succeeds.
+    instead of NaN-ing the whole training step, escalate to 100x and
+    10000x jitter.
+
+    Grad-safety: the escalation level is chosen with *probe*
+    factorizations on ``stop_gradient(K)`` — no failed (NaN) Cholesky
+    ever sits on the autodiff path.  The jitter selected by the probes
+    is applied to the live ``K`` and factorized exactly once, so
+    ``jax.grad`` through the result stays finite whenever the selected
+    factorization is finite.  (Selecting between a good and a NaN factor
+    with ``jnp.where`` — the previous formulation — poisons the Cholesky
+    VJP even with a zero cotangent: the classic where-NaN trap.)
+
+    The probes are M x M (trivial next to the N-batch work) and the
+    selects are branch-free under jit.  In float64 the base attempt
+    virtually always succeeds.  Batched over leading dims of K.
     """
     jitter = default_jitter() if jitter is None else jitter
     M = K.shape[-1]
     I = jnp.eye(M, dtype=K.dtype)
-    L = jnp.linalg.cholesky(K + jitter * I)
-    for factor in (1e2, 1e4):
-        bad = jnp.any(jnp.isnan(L), axis=(-2, -1), keepdims=True)
-        L2 = jnp.linalg.cholesky(K + (jitter * factor) * I)
-        L = jnp.where(bad, L2, L)
-    return L
+    Kp = jax.lax.stop_gradient(K)
+    j0 = jnp.asarray(jitter, dtype=K.dtype)
+
+    def ok(j):
+        Lp = jnp.linalg.cholesky(Kp + j * I)
+        return jnp.logical_not(jnp.any(jnp.isnan(Lp), axis=(-2, -1)))
+
+    sel = jnp.where(ok(j0), j0,
+                    jnp.where(ok(j0 * 1e2), j0 * 1e2, j0 * 1e4))
+    sel = jax.lax.stop_gradient(sel)[..., None, None]
+    return jnp.linalg.cholesky(K + sel * I)
 
 
 def inv_lower(L):
@@ -70,31 +85,35 @@ def inv_lower(L):
     return jax.vmap(lambda l: solve_triangular(l, eye, lower=True))(L)
 
 
-def tri_solve(L, B, lower=True, trans=False):
-    """Solve op(L) X = B for triangular L, honoring the configured
-    solve strategy.
+def tri_solve(L, B, lower=True, trans=False, mode="solve"):
+    """Solve op(L) X = B for triangular L with an explicit strategy.
 
-    In 'inverse' mode the triangular inverse is formed once (cheap M x M
-    work) and applied as a matmul — on TPU this keeps the large
+    ``mode='solve'`` is the reference triangular back-substitution.
+    In ``mode='inverse'`` the triangular inverse is formed once (cheap
+    M x M work) and applied as a matmul — on TPU this keeps the large
     (M, S*N) operand on the MXU instead of in a sequential
-    back-substitution loop.
+    back-substitution loop.  The mode is an explicit argument (layers
+    pass their static ``solve_mode`` field) so jitted callers never read
+    mutable global config at trace time.
     """
-    if config.solve_mode == "inverse":
+    if mode == "inverse":
         Li = inv_lower(L) if lower else inv_lower(L.T).T
         op = Li.T if trans else Li
         return op @ B
     return solve_triangular(L, B, lower=lower, trans=1 if trans else 0)
 
 
-def reparameterize(mean, var, z, full_cov=False):
+def reparameterize(mean, var, z, full_cov=False, jitter=None):
     """Gaussian reparameterization trick (matches reference utils.py:22-51).
 
     mean: (S, N, D); var: (S, N, D) or (S, N, N, D) when full_cov;
     z: (S, N, D) unit normals.  var=None returns mean (deterministic).
+    ``jitter=None`` reads the global config at trace time (convenience);
+    layers pass their static jitter field explicitly.
     """
     if var is None:
         return mean
-    jitter = default_jitter()
+    jitter = default_jitter() if jitter is None else jitter
     if not full_cov:
         # clamp: float32 cancellation in Kff - Qff can leave var a hair
         # negative; the reference relies on float64 + jitter alone

@@ -24,6 +24,46 @@ from .kernels import RBF, Sum, White
 __all__ = ["psi_statistics"]
 
 
+def _rbf_cross_psi2(ka: RBF, kb: RBF, mu, S, Z):
+    """Cross second moment sum_n E[ k_a(x_n, z_m) k_b(x_n, z_m') ]
+    for two (ARD) RBF kernels, x_n ~ N(mu_n, diag(S_n)).  Returns (M, M).
+
+    Derivation: the product of the two per-dimension Gaussians in x is a
+    Gaussian with width h = ab/(a+b) centered at c = (b z + a z')/(a+b)
+    (a = ls_a^2, b = ls_b^2), times exp(-(z - z')^2 / (2(a+b))); the
+    remaining E_x[exp(-(x-c)^2/(2h))] = sqrt(h/(h+s)) exp(-(mu-c)^2 /
+    (2(h+s))).  With a == b this reduces to the standard single-RBF psi2
+    (Titsias & Lawrence 2010); with a != b it is the Sum-kernel cross
+    term the reference gets from gpflow.expectations at
+    /root/reference/doubly_stochastic_dgp/layers.py:417.
+    """
+    va = ka.variance.value
+    vb = kb.variance.value
+    a = ka.lengthscales.value ** 2 + jnp.zeros_like(mu[0])      # (D,)
+    b = kb.lengthscales.value ** 2 + jnp.zeros_like(mu[0])      # (D,)
+    h = a * b / (a + b)                                         # (D,)
+    denom = h + S                                               # (N, D)
+    logdet = 0.5 * jnp.sum(jnp.log(h) - jnp.log(denom), axis=-1)  # (N,)
+    zz = Z[:, None, :] - Z[None, :, :]                          # (M, M, D)
+    log_zz = -0.5 * jnp.sum(zz ** 2 / (a + b), axis=-1)         # (M, M)
+    c = (b * Z[:, None, :] + a * Z[None, :, :]) / (a + b)       # (M, M, D)
+    # exp term per (n, m, m'): expand sum_d -(mu_nd - c_mm'd)^2 /
+    # (2 denom_nd) as mu^2 - 2 mu c + c^2, contracting d with einsums —
+    # O(N*M*M) memory instead of materializing (N, M, M, D), and the
+    # contractions land on the MXU.
+    inv = 1.0 / denom                                           # (N, D)
+    t_mu2 = jnp.sum(mu ** 2 * inv, axis=-1)                     # (N,)
+    t_cross = jnp.einsum("nd,abd->nab", mu * inv, c)            # (N, M, M)
+    t_c2 = jnp.einsum("nd,abd->nab", inv, c ** 2)               # (N, M, M)
+    # mathematically <= 0; clamp float32 cancellation noise so exp can't
+    # overflow
+    quad = jnp.minimum(
+        -0.5 * (t_mu2[:, None, None] - 2.0 * t_cross + t_c2), 0.0)
+    psi2_n = va * vb * jnp.exp(
+        logdet[:, None, None] + log_zz[None, :, :] + quad)      # (N, M, M)
+    return jnp.sum(psi2_n, axis=0)                              # (M, M)
+
+
 def _rbf_psi(kern: RBF, mu, S, Z):
     """psi0 (N,), psi1 (N, M), psi2 summed over n (M, M)."""
     var = kern.variance.value
@@ -39,28 +79,8 @@ def _rbf_psi(kern: RBF, mu, S, Z):
     quad1 = -0.5 * jnp.sum(d1 ** 2 / denom1[:, None, :], axis=-1)
     psi1 = var * jnp.exp(logdet1[:, None] + quad1)              # (N, M)
 
-    # psi2[n,m,m'] = var^2 prod_d (1 + 2S/ls2)^(-1/2)
-    #   * exp(-0.25 (z_m - z_m')^2 / ls2 - (mu - zbar)^2 / (ls2 + 2S))
-    denom2 = ls2 + 2.0 * S                                      # (N, D)
-    logdet2 = -0.5 * jnp.sum(jnp.log1p(2.0 * S / ls2), axis=-1)  # (N,)
-    zz = Z[:, None, :] - Z[None, :, :]                          # (M, M, D)
-    log_zz = -0.25 * jnp.sum(zz ** 2 / ls2, axis=-1)            # (M, M)
-    zbar = 0.5 * (Z[:, None, :] + Z[None, :, :])                # (M, M, D)
-    # exp term per (n, m, m'): expand via sum over d of
-    # -(mu_nd - zbar_mm'd)^2 / denom2_nd.  To keep memory at
-    # O(N*M*M) rather than materializing (N, M, M, D), expand the square:
-    # (mu - zbar)^2 = mu^2 - 2 mu zbar + zbar^2, contracting d with einsum.
-    inv2 = 1.0 / denom2                                         # (N, D)
-    t_mu2 = jnp.sum(mu ** 2 * inv2, axis=-1)                    # (N,)
-    t_cross = jnp.einsum("nd,abd->nab", mu * inv2, zbar)        # (N, M, M)
-    t_zbar2 = jnp.einsum("nd,abd->nab", inv2, zbar ** 2)        # (N, M, M)
-    # mathematically <= 0; clamp float32 cancellation noise so exp can't
-    # overflow
-    quad2 = jnp.minimum(
-        -(t_mu2[:, None, None] - 2.0 * t_cross + t_zbar2), 0.0)  # (N, M, M)
-    psi2_n = var ** 2 * jnp.exp(
-        logdet2[:, None, None] + log_zz[None, :, :] + quad2)
-    psi2 = jnp.sum(psi2_n, axis=0)                              # (M, M)
+    # psi2 is the a == b case of the cross second moment
+    psi2 = _rbf_cross_psi2(kern, kern, mu, S, Z)
     return psi0, psi1, psi2
 
 
@@ -92,9 +112,14 @@ def psi_statistics(kern, mu, S, Z):
             else:
                 raise NotImplementedError(
                     f"psi statistics for {type(k).__name__} in a Sum")
-        if len(rbf_parts) > 1:
-            raise NotImplementedError(
-                "psi2 cross terms for multiple RBF components")
+        # psi2 cross terms between distinct RBF components:
+        # E[(sum_i k_i)(z)(sum_j k_j)(z')] adds C_ij + C_ij^T for each
+        # unordered pair (C_ij[m,m'] = E[k_i(x,z_m) k_j(x,z_m')], and
+        # C_ji = C_ij^T by symmetry of the closed form in (m, m')).
+        for i in range(len(rbf_parts)):
+            for j in range(i + 1, len(rbf_parts)):
+                C = _rbf_cross_psi2(rbf_parts[i], rbf_parts[j], mu, S, Z)
+                psi2 = psi2 + C + C.T
         return psi0, psi1, psi2
     raise NotImplementedError(
         f"psi statistics not implemented for {type(kern).__name__}")

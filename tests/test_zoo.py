@@ -124,6 +124,46 @@ def test_heteroscedastic_smoke():
     assert np.all(np.asarray(var) > 0)
 
 
+def test_heteroscedastic_predict_y_integrates_noise_head():
+    """predict_y must take E[softplus(g)] over the noise head's full
+    q(g) = N(m_g, v_g) (GH), not plug in softplus(m_g) — checked against
+    a Monte-Carlo estimate of the expectation (VERDICT round-1 weak #8)."""
+    np.random.seed(3)
+    N, D = 30, 2
+    X = np.random.randn(N, D)
+    Y = np.sin(X[:, :1])
+
+    from doubly_stochastic_dgp_tpu.models.initializations import \
+        init_layers_linear
+    kerns = [RBF.make(D)]
+    layers = init_layers_linear(X, Y, X[:8], kerns, num_outputs=2)
+    # widen the variational posterior so v_g is substantial and the
+    # Jensen gap between E[softplus(g)] and softplus(E[g]) is visible
+    l0 = layers[0]
+    layers[0] = l0.replace(q_sqrt=l0.q_sqrt.with_value(
+        np.asarray(l0.q_sqrt.value) * 3.0))
+    m = DGPHeteroscedastic.make(X, Y, Gaussian.make(0.05), layers,
+                                num_samples=1)
+
+    Xs = jnp.asarray(X[:6])
+    key = jax.random.PRNGKey(0)
+    mean, var = m.predict_y(Xs, S=1, key=key)
+    Fmean, Fvar = m._predict(Xs, key=key, full_cov=False, S=1)
+    m_f, m_g = np.asarray(Fmean[..., :1]), np.asarray(Fmean[..., 1:])
+    v_f, v_g = np.asarray(Fvar[..., :1]), np.asarray(Fvar[..., 1:])
+
+    rng = np.random.default_rng(0)
+    G = m_g[None] + np.sqrt(v_g)[None] * rng.standard_normal(
+        (200_000,) + m_g.shape)
+    e_noise_mc = np.mean(np.logaddexp(G, 0.0), axis=0) + m.min_noise
+
+    assert_allclose(np.asarray(mean), m_f, rtol=1e-10)
+    assert_allclose(np.asarray(var), v_f + e_noise_mc, rtol=2e-3)
+    # and it differs from the naive plug-in when v_g is large
+    plug_in = v_f + np.logaddexp(m_g, 0.0) + m.min_noise
+    assert np.max(np.abs(np.asarray(var) - plug_in)) > 1e-3
+
+
 def test_sgpmc_layer_hmc_smoke():
     """SGPMC: q_sqrt=None, unit prior on q_mu, KL()=0; short HMC chain
     moves q_mu and stays finite (reference layers.py:249-260 +
