@@ -195,14 +195,16 @@ def make_dp_scan_train_step(tx: optax.GradientTransformation, mesh: Mesh,
 
         return jax.jit(run)
 
-    # grad outside shard_map: scan over a shard_map'd loss
+    # grad outside shard_map: scan over a shard_map'd loss.  The
+    # per-device key derivation (fold device index, then split into
+    # batch/sample keys) is identical to the grad_inside mode, so both
+    # formulations produce the same trajectory for the same key.
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(axis), P(axis), P(), P()),
+             in_specs=(P(), P(axis), P(axis), P()),
              out_specs=P())
-    def sharded_loss(model, X_l, Y_l, kb, ks):
+    def sharded_loss(model, X_l, Y_l, k):
         dev = jax.lax.axis_index(axis)
-        kb = jax.random.fold_in(kb, dev)
-        ks = jax.random.fold_in(ks, dev)
+        kb, ks = jax.random.split(jax.random.fold_in(k, dev))
         X, Y = local_minibatch(X_l, Y_l, kb)
         ve = model.E_log_p_Y(X, Y, ks)
         total = jax.lax.psum(jnp.sum(ve), axis)
@@ -214,10 +216,7 @@ def make_dp_scan_train_step(tx: optax.GradientTransformation, mesh: Mesh,
     def step(model, opt_state, X, Y, key):
         def body(carry, k):
             model, opt_state = carry
-            kd = jax.random.fold_in(k, 0)  # mirror grad_inside's split
-            kb, ks = jax.random.split(kd)
-            loss, grads = jax.value_and_grad(sharded_loss)(
-                model, X, Y, kb, ks)
+            loss, grads = jax.value_and_grad(sharded_loss)(model, X, Y, k)
             updates, opt_state = tx.update(grads, opt_state, model)
             model = optax.apply_updates(model, updates)
             return (model, opt_state), loss
