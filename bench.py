@@ -50,7 +50,9 @@ def build(args):
     dsd.set_default_float("float32")
     dsd.set_default_jitter(1e-5)
     config.solve_mode = "inverse"
-    config.use_pallas = args.pallas
+    # --pallas forces the fused conditional everywhere; default "auto"
+    # enables it only in the measured-win region (shape-gated)
+    config.use_pallas = True if args.pallas else "auto"
 
     from doubly_stochastic_dgp_tpu.data.datasets import (Datasets,
                                                          SyntheticRegression)

@@ -54,9 +54,12 @@ class Config:
     # replaces the large (M, S*N) triangular solve with an MXU matmul
     # (TPU speed mode).  Both agree to ~1e-5 in float32.
     solve_mode: str = "solve"
-    # Whether to route gram-matrix construction through the Pallas fused
-    # kernel (TPU only; falls back to XLA elsewhere).
-    use_pallas: bool = False
+    # Routing of the fused Pallas conditional: False = never, True =
+    # always (tests force this with interpret mode on CPU), "auto" =
+    # only in the measured-win region on a real TPU (few-output-dim
+    # conditionals at mid/large M; ops/pallas/conditional.py::
+    # pallas_profitable).
+    use_pallas: object = "auto"
 
 
 # A single process-global Config: setters and temp_config mutate this one

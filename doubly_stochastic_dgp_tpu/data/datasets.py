@@ -72,10 +72,14 @@ class Dataset:
         return d
 
     def split(self, full_data, seed, split, prop):
-        ind = np.arange(self.N)
+        # actual row count, not the registry's nominal N: identical when
+        # the cached CSV matches (the published-numbers path), robust to
+        # truncated/fixture CSVs
+        N = full_data["X"].shape[0]
+        ind = np.arange(N)
         rng = np.random.RandomState(seed + split)
         rng.shuffle(ind)
-        n = int(self.N * prop)
+        n = int(N * prop)
         return {
             "X": full_data["X"][ind[:n], :],
             "Xs": full_data["X"][ind[n:], :],
@@ -249,6 +253,47 @@ class SyntheticRegression(Dataset):
 
 def make_synthetic_regression(N=8192, D=8, seed=0, data_path="data/"):
     return SyntheticRegression(N=N, D=D, seed=seed, data_path=data_path)
+
+
+class CompositionalRegression(Dataset):
+    """Synthetic data with *compositional, non-stationary* structure — a
+    discontinuous warp composed with a smooth function — the regime where
+    deep GPs demonstrably beat single-layer sparse GPs (the qualitative
+    structure of the published kin8nm results: DGP2/3 > DGP1 ~= SVGP,
+    reference demo_regression_UCI.ipynb cell 15).  Used by the offline
+    results-parity harness (scripts/results_parity.py) when the real
+    kin8nm CSV is unavailable."""
+
+    type = "regression"
+
+    def __init__(self, name="compositional_synth", N=8192, D=8,
+                 data_path="data/", seed=0):
+        super().__init__(data_path)
+        self.name, self.N, self.D, self._seed = name, N, D, seed
+
+    def read_data(self):
+        rng = np.random.RandomState(self._seed)
+        X = rng.uniform(size=(self.N, self.D))
+        w = rng.randn(self.D)
+        w /= np.linalg.norm(w)
+        z = (X - 0.5) @ w * 4.0                     # ~N(0, ~1.3) scalar
+        # inner warp: steep (but continuous) switch + locally varying
+        # amplitude — non-stationary enough that depth helps, smooth
+        # enough that held-out loglik is not dominated by a few
+        # unpredictable points at a discontinuity
+        h = np.tanh(6.0 * z) * (0.6 + 0.4 * np.abs(z)) + 0.3 * np.sin(4.0 * z)
+        # outer smooth head on the warped coordinate + a second raw dim
+        w2 = rng.randn(self.D)
+        w2 /= np.linalg.norm(w2)
+        g = np.sin(2.5 * h) * (1.0 + 0.5 * np.tanh((X - 0.5) @ w2 * 3.0))
+        Y = (g + rng.randn(self.N) * 0.05)[:, None]
+        return {"X": X, "Y": Y}
+
+    def get_data(self, seed=0, split=0, prop=0.9):
+        d = self.split(self.read_data(), seed, split, prop)
+        d = self.normalize(d, "X")
+        d = self.normalize(d, "Y")
+        return d
 
 
 class Datasets:

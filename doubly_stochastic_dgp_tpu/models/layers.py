@@ -175,7 +175,8 @@ class SVGPLayer(Layer):
     # mutating the global config after build has no effect (jit-safe).
     jitter: float = static_field(default=1e-6)
     solve_mode: str = static_field(default="solve")
-    use_pallas: bool = static_field(default=False)
+    # False | True | "auto" (shape-gated, TPU only)
+    use_pallas: Any = static_field(default=False)
 
     @classmethod
     def make(cls, kern, Z, num_outputs, mean_function=None, white=False,
@@ -245,7 +246,16 @@ class SVGPLayer(Layer):
                       Mathematically identical; avoids the two big
                       sequential triangular solves entirely.
         """
-        if (self.use_pallas and not full_cov
+        use_pallas = self.use_pallas
+        if use_pallas == "auto":
+            # shape-gated: only the measured-win region on a real TPU
+            # (ops/pallas/conditional.py::pallas_profitable)
+            from ..ops.pallas.conditional import pallas_profitable
+            use_pallas = (jax.default_backend() in ("tpu", "axon")
+                          and pallas_profitable(self.num_inducing,
+                                                self.num_outputs_,
+                                                X.shape[0]))
+        if (use_pallas and not full_cov
                 and _fusable_rbf(self.kern) is not None):
             return self._conditional_fused(X)
 

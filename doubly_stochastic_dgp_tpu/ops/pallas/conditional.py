@@ -9,16 +9,27 @@ precomputed alpha/W formulation (models/layers.py conditional_ND,
     var_d(x)= kdiag + k(x)^T W_d k(x)                    (Do,)
 
 Unfused, XLA materializes Kuf (M, B) and the (Do, M, B) product in HBM
-— at bench shapes that traffic is comparable to the chip's entire HBM
+— at large M that traffic is comparable to the chip's entire HBM
 bandwidth budget.  This kernel tiles the batch, computes the gram tile
 on the MXU and keeps it in VMEM through the mean/variance contractions:
-one read of X, one write of mean/var.  Padding of M to the 128 lane
-width is free because alpha/W are zero-padded (padded gram columns
-cannot contribute).
+one read of X, one write of mean/var.
 
-The backward pass is a second fused kernel over the same tiling,
-emitting dX directly and per-tile partial sums for (Z-side, alpha, W,
-scalars), reduced outside.  Wrapped in jax.custom_vjp.
+Layout (round 2): the grid is (Do, num_batch_tiles) — each grid row d
+streams only its own W_d (Mp, Mp) block through VMEM (pallas pipelines
+the next W_{d+1} DMA behind the current row automatically), instead of
+keeping all of W (Do, Mp, Mp) resident.  That lifts the former M<=256
+VMEM cap to M ~ 1024 (the per-step working set is W_d + a (TILE_B, Mp)
+gram + its product).  The gram tile is recomputed per d — an extra
+2*TB*M*Dx flops against the 2*TB*M^2 the variance contraction already
+pays, i.e. ~Dx/M relative overhead.  Padding of M to the 128 lane width
+is free because alpha/W are zero-padded (padded gram columns cannot
+contribute).
+
+The backward pass is a second fused kernel over the same grid,
+accumulating dW_d / dZ_d / dalpha in revisited output blocks (the batch
+tile is the fastest grid axis, so those blocks stay VMEM-resident
+across the row) and emitting per-d dX partials reduced outside.
+Wrapped in jax.custom_vjp.
 """
 
 from __future__ import annotations
@@ -27,56 +38,93 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-TILE_B = 512
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def pallas_profitable(M, Do, B):
+    """Measured-win region for the fused conditional on TPU v5e
+    (PERF.md round 2, best-of-3 timings at B=8192): few-output-dim
+    conditionals at mid/large M (the final layer of a regression DGP) —
+    1.29x at (M=256, Do=1), >=1.04x across M in [128, 1024]; XLA stays
+    ahead for wide-output inner layers (Do=8: 0.82-1.03x) and tiny
+    batches (dispatch-bound).  Used by use_pallas='auto'."""
+    return Do <= 2 and 128 <= M <= 1024 and B >= 2048
+
+
+def _tile_b(Mp, bwd=False):
+    """Batch tile: shrink when W_d + gram tiles get big (VMEM ~16MB).
+    The backward holds W_d AND the accumulating dW_d block (2 x Mp^2)
+    plus three (TB, Mp) intermediates, so it tiles smaller at large M."""
+    if Mp <= 512:
+        return 512
+    return 128 if bwd else 256
+
+
 def _acc_t(dtype):
     return jnp.float32 if dtype == jnp.bfloat16 else dtype
+
+
+def _gram_tile(x, z, kvar, at):
+    """kvar * exp(-0.5 ||x - z||^2) on the MXU, (TB, Mp)."""
+    cross = jax.lax.dot_general(x, z, (((1,), (1,)), ((), ())),
+                                preferred_element_type=at)
+    xsq = jnp.sum(x * x, axis=1, keepdims=True)
+    zsq = jnp.sum(z * z, axis=1, keepdims=True).T
+    return kvar * jnp.exp(-0.5 * jnp.maximum(xsq + zsq - 2.0 * cross, 0.0))
 
 
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
+def _onehot_lane(d, Do, dtype):
+    """(1, Do) one-hot row selecting output dim d (TPU needs 2D iota;
+    dynamic lane indexing is avoided by masking instead)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Do), 1)
+    return (lane == d).astype(dtype)
+
+
 def _fwd_kernel(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref,
                 mean_ref, var_ref):
+    # grid (num_batch_tiles, Do): d is the fast axis, so the mean/var
+    # output blocks for batch tile i stay VMEM-resident across the d
+    # sweep while W_d streams through.
+    d = pl.program_id(1)
     x = xs_ref[:]                                   # (TB, Dx)
     z = zs_ref[:]                                   # (Mp, Dx)
     kvar = scal_ref[0, 0]
     kdiag = scal_ref[0, 1]
     at = _acc_t(x.dtype)
 
-    cross = jax.lax.dot_general(x, z, (((1,), (1,)), ((), ())),
-                                preferred_element_type=at)   # (TB, Mp)
-    xsq = jnp.sum(x * x, axis=1, keepdims=True)
-    zsq = jnp.sum(z * z, axis=1, keepdims=True).T
-    K = kvar * jnp.exp(-0.5 * jnp.maximum(xsq + zsq - 2.0 * cross, 0.0))
+    K = _gram_tile(x, z, kvar, at)                  # (TB, Mp)
 
-    mean_ref[:] = jnp.dot(K, alpha_ref[:],
-                          preferred_element_type=at).astype(mean_ref.dtype)
+    @pl.when(d == 0)
+    def _():
+        mean_ref[:] = jnp.dot(
+            K, alpha_ref[:],
+            preferred_element_type=at).astype(mean_ref.dtype)
+        var_ref[:] = jnp.zeros_like(var_ref)
 
-    Do = w_ref.shape[0]
-    for d in range(Do):
-        T = jnp.dot(K, w_ref[d], preferred_element_type=at)  # (TB, Mp)
-        var_d = kdiag + jnp.sum(K * T, axis=1)
-        var_ref[:, d] = jnp.maximum(var_d, 0.0).astype(var_ref.dtype)
+    T = jnp.dot(K, w_ref[0], preferred_element_type=at)   # (TB, Mp)
+    var_d = jnp.maximum(kdiag + jnp.sum(K * T, axis=1), 0.0)
+    onehot = _onehot_lane(d, var_ref.shape[1], var_d.dtype)
+    var_ref[:] = var_ref[:] + (var_d[:, None] * onehot).astype(
+        var_ref.dtype)
 
 
 def _fused_forward(Xs, Zs, alpha, W, kvar, kdiag, interpret=False):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     B, Dx = Xs.shape
     M = Zs.shape[0]
     Do = alpha.shape[1]
-    Bp = _round_up(B, TILE_B)
     Mp = _round_up(M, 128)
+    TB = _tile_b(Mp)
+    Bp = _round_up(B, TB)
+    nT = Bp // TB
 
     Xp = jnp.pad(Xs, ((0, Bp - B), (0, 0)))
     Zp = jnp.pad(Zs, ((0, Mp - M), (0, 0)))
@@ -84,26 +132,25 @@ def _fused_forward(Xs, Zs, alpha, W, kvar, kdiag, interpret=False):
     Wp = jnp.pad(W, ((0, 0), (0, Mp - M), (0, Mp - M)))
     scal = jnp.stack([kvar, kdiag]).reshape(1, 2).astype(Xs.dtype)
 
-    grid = (Bp // TILE_B,)
     mean, var = pl.pallas_call(
         _fwd_kernel,
-        grid=grid,
+        grid=(nT, Do),
         in_specs=[
-            pl.BlockSpec((TILE_B, Dx), lambda i: (i, 0),
+            pl.BlockSpec((TB, Dx), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp, Dx), lambda i: (0, 0),
+            pl.BlockSpec((Mp, Dx), lambda i, d: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp, Do), lambda i: (0, 0),
+            pl.BlockSpec((Mp, Do), lambda i, d: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Do, Mp, Mp), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, Mp, Mp), lambda i, d: (d, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
+            pl.BlockSpec((1, 2), lambda i, d: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_B, Do), lambda i: (i, 0),
+            pl.BlockSpec((TB, Do), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, Do), lambda i: (i, 0),
+            pl.BlockSpec((TB, Do), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -121,50 +168,66 @@ def _fused_forward(Xs, Zs, alpha, W, kvar, kdiag, interpret=False):
 
 def _bwd_kernel(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref, gm_ref, gv_ref,
                 dx_ref, dz_ref, dalpha_ref, dw_ref):
-    """Backward tile.  ``gv`` arrives already clamp-masked (done in jnp
-    from the saved forward outputs), and the scalar grads (dkvar,
-    dkdiag) are reconstructed outside from (mean, var) — Mosaic cannot
-    lower full-to-scalar reductions or sub-block ref offsets, so the
-    kernel only emits tensor-shaped results."""
+    """Backward step for one (d, batch-tile) cell.  ``gv`` arrives
+    already clamp-masked (done in jnp from the saved forward outputs),
+    and the scalar grads (dkvar, dkdiag) are reconstructed outside from
+    (mean, var) — Mosaic cannot lower full-to-scalar reductions, so the
+    kernel only emits tensor-shaped results.  dW_d / dZ_d / dalpha
+    accumulate in-place across the batch-tile axis (their blocks stay
+    VMEM-resident within a grid row)."""
+    d = pl.program_id(0)
+    i = pl.program_id(1)
     x = xs_ref[:]
     z = zs_ref[:]
     kvar = scal_ref[0, 0]
     at = _acc_t(x.dtype)
 
-    cross = jax.lax.dot_general(x, z, (((1,), (1,)), ((), ())),
-                                preferred_element_type=at)
-    xsq = jnp.sum(x * x, axis=1, keepdims=True)
-    zsq = jnp.sum(z * z, axis=1, keepdims=True).T
-    K = kvar * jnp.exp(-0.5 * jnp.maximum(xsq + zsq - 2.0 * cross, 0.0))
-
+    K = _gram_tile(x, z, kvar, at)                  # (TB, Mp)
     gm = gm_ref[:]                                  # (TB, Do)
-    gv = gv_ref[:]                                  # (TB, Do), pre-masked
+    # column d of the (pre-masked) variance cotangent, via a one-hot
+    # contraction (no dynamic lane indexing on TPU)
+    onehot = _onehot_lane(d, gv_ref.shape[1], gv_ref.dtype)
+    g_d = jnp.sum(gv_ref[:] * onehot, axis=1)       # (TB,)
 
-    Do = w_ref.shape[0]
-    Wv = w_ref[:]                                   # one full-block read
-    dK = jnp.dot(gm, alpha_ref[:].T, preferred_element_type=at)  # (TB, Mp)
-    dws = []
-    for d in range(Do):
-        T = jnp.dot(K, Wv[d], preferred_element_type=at)         # (TB, Mp)
-        g_d = gv[:, d]
-        dK = dK + 2.0 * g_d[:, None] * T
-        # dW_d = K^T diag(g_d) K
-        dws.append(jnp.dot((K * g_d[:, None]).T, K,
-                           preferred_element_type=at))
-    dw_ref[0] = jnp.stack(dws, axis=0).astype(dw_ref.dtype)
+    T = jnp.dot(K, w_ref[0], preferred_element_type=at)     # (TB, Mp)
+    dK = 2.0 * g_d[:, None] * T
+    # the mean term enters dK exactly once (on the d == 0 row)
+    dK = dK + jnp.where(
+        d == 0,
+        jnp.dot(gm, alpha_ref[:].T, preferred_element_type=at),
+        jnp.zeros_like(dK))
 
-    dalpha_ref[0] = jnp.dot(K.T, gm,
-                            preferred_element_type=at).astype(dalpha_ref.dtype)
+    @pl.when(jnp.logical_and(d == 0, i == 0))
+    def _():
+        dalpha_ref[:] = jnp.zeros_like(dalpha_ref)
+
+    @pl.when(d == 0)
+    def _():
+        dalpha_ref[:] = (dalpha_ref[:]
+                         + jnp.dot(K.T, gm, preferred_element_type=at
+                                   ).astype(dalpha_ref.dtype))
+
+    # dW_d = sum_tiles K^T diag(g_d) K
+    @pl.when(i == 0)
+    def _():
+        dw_ref[0] = jnp.zeros_like(dw_ref[0])
+        dz_ref[0] = jnp.zeros_like(dz_ref[0])
+
+    dw_ref[0] = (dw_ref[0]
+                 + jnp.dot((K * g_d[:, None]).T, K,
+                           preferred_element_type=at).astype(dw_ref.dtype))
 
     # chain through K = kvar * exp(-0.5 * dist)
     G = dK * (-0.5) * K                              # dL/d dist, (TB, Mp)
     rs = jnp.sum(G, axis=1, keepdims=True)           # (TB, 1)
     cs = jnp.sum(G, axis=0, keepdims=True)           # (1, Mp)
-    dx_ref[:] = (2.0 * (x * rs - jnp.dot(G, z, preferred_element_type=at))
+    dx_ref[0] = (2.0 * (x * rs
+                        - jnp.dot(G, z, preferred_element_type=at))
                  ).astype(dx_ref.dtype)
-    dz_ref[0] = (2.0 * (z * cs.T - jnp.dot(G.T, x,
-                                           preferred_element_type=at))
-                 ).astype(dz_ref.dtype)
+    dz_ref[0] = (dz_ref[0]
+                 + 2.0 * (z * cs.T
+                          - jnp.dot(G.T, x, preferred_element_type=at)
+                          ).astype(dz_ref.dtype))
 
 
 def _fused_backward(Xs, Zs, alpha, W, kvar, gm, gv,
@@ -172,15 +235,13 @@ def _fused_backward(Xs, Zs, alpha, W, kvar, gm, gv,
     """gm/gv are the (already clamp-masked) output cotangents; returns
     (dXs, dZs, dalpha, dW).  Scalar grads are reconstructed by the
     caller from the saved forward outputs."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     B, Dx = Xs.shape
     M = Zs.shape[0]
     Do = alpha.shape[1]
-    Bp = _round_up(B, TILE_B)
     Mp = _round_up(M, 128)
-    nT = Bp // TILE_B
+    TB = _tile_b(Mp, bwd=True)
+    Bp = _round_up(B, TB)
+    nT = Bp // TB
 
     Xp = jnp.pad(Xs, ((0, Bp - B), (0, 0)))
     Zp = jnp.pad(Zs, ((0, Mp - M), (0, 0)))
@@ -188,51 +249,49 @@ def _fused_backward(Xs, Zs, alpha, W, kvar, gm, gv,
     Wp = jnp.pad(W, ((0, 0), (0, Mp - M), (0, Mp - M)))
     scal = jnp.stack([kvar, kvar]).reshape(1, 2).astype(Xs.dtype)
     gmp = jnp.pad(gm, ((0, Bp - B), (0, 0)))
-    gvp = jnp.pad(gv, ((0, Bp - B), (0, 0)))
+    gvp = jnp.pad(gv, ((0, Bp - B), (0, 0)))        # (Bp, Do)
 
     outs = pl.pallas_call(
         _bwd_kernel,
-        grid=(nT,),
+        grid=(Do, nT),
         in_specs=[
-            pl.BlockSpec((TILE_B, Dx), lambda i: (i, 0),
+            pl.BlockSpec((TB, Dx), lambda d, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp, Dx), lambda i: (0, 0),
+            pl.BlockSpec((Mp, Dx), lambda d, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp, Do), lambda i: (0, 0),
+            pl.BlockSpec((Mp, Do), lambda d, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Do, Mp, Mp), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, Mp, Mp), lambda d, i: (d, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
+            pl.BlockSpec((1, 2), lambda d, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_B, Do), lambda i: (i, 0),
+            pl.BlockSpec((TB, Do), lambda d, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, Do), lambda i: (i, 0),
+            pl.BlockSpec((TB, Do), lambda d, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_B, Dx), lambda i: (i, 0),
+            pl.BlockSpec((1, TB, Dx), lambda d, i: (d, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, Dx), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, Mp, Dx), lambda d, i: (d, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, Do), lambda i: (i, 0, 0),
+            pl.BlockSpec((Mp, Do), lambda d, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Do, Mp, Mp), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, Mp, Mp), lambda d, i: (d, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Bp, Dx), Xs.dtype),
-            jax.ShapeDtypeStruct((nT, Mp, Dx), Xs.dtype),
-            jax.ShapeDtypeStruct((nT, Mp, Do), Xs.dtype),
-            jax.ShapeDtypeStruct((nT, Do, Mp, Mp), Xs.dtype),
+            jax.ShapeDtypeStruct((Do, Bp, Dx), Xs.dtype),
+            jax.ShapeDtypeStruct((Do, Mp, Dx), Xs.dtype),
+            jax.ShapeDtypeStruct((Mp, Do), Xs.dtype),
+            jax.ShapeDtypeStruct((Do, Mp, Mp), Xs.dtype),
         ),
         interpret=interpret,
     )(Xp, Zp, ap, Wp, scal, gmp, gvp)
-    dXp, dZt, dat, dWt = outs
-    dXs = dXp[:B]
+    dXt, dZt, dalpha, dW = outs
+    dXs = jnp.sum(dXt, axis=0)[:B]
     dZs = jnp.sum(dZt, axis=0)[:M]
-    dalpha = jnp.sum(dat, axis=0)[:M]
-    dW = jnp.sum(dWt, axis=0)[:, :M, :M]
-    return dXs, dZs, dalpha, dW
+    return dXs, dZs, dalpha[:M], dW[:, :M, :M]
 
 
 # ---------------------------------------------------------------------------

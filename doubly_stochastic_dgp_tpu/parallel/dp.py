@@ -249,8 +249,11 @@ def make_dp_natgrad_adam_step(adam_tx: optax.GradientTransformation,
     def step(model, opt_state, X, Y, key):
         k1, k2 = jax.random.split(key)
 
-        # --- natural-gradient action on the selected layers
-        grads = jax.grad(loss_fn)(model, X, Y, k1)
+        # --- natural-gradient action on the selected layers (full-f32
+        # matmuls: TPU's default bf16-class precision destabilizes the
+        # natural-parameter round trip; see training/loop.py)
+        with jax.default_matmul_precision("highest"):
+            grads = jax.grad(loss_fn)(model, X, Y, k1)
         layers = list(model.layers)
         for i in ng_layers:
             li = i % len(layers)
@@ -258,7 +261,8 @@ def make_dp_natgrad_adam_step(adam_tx: optax.GradientTransformation,
             m_new, L_new = natgrad_update(
                 layer.q_mu.value, layer.q_sqrt.value,
                 glayer.q_mu.unconstrained,
-                jnp.tril(glayer.q_sqrt.unconstrained), gamma)
+                jnp.tril(glayer.q_sqrt.unconstrained), gamma,
+                jitter=getattr(layer, "jitter", 1e-12))
             layers[li] = layer.replace(
                 q_mu=layer.q_mu.with_value(m_new),
                 q_sqrt=layer.q_sqrt.with_value(L_new))

@@ -6,8 +6,9 @@ priors on q_mu and rely on GPflow's HMC to sample the posterior.  This
 module provides the TPU-native equivalent: a jitted leapfrog HMC kernel
 over the trainable unconstrained leaves of the model, targeting
 ``log_posterior(model) = marginal/bound + log_prior`` (e.g.
-DGPHeinonen.log_posterior).  The whole chain runs as one lax.scan — no
-per-step host round-trips.
+DGPHeinonen.log_posterior).  The whole chain — including dual-averaging
+step-size adaptation during burn-in (Hoffman & Gelman 2014, Alg. 5) —
+runs as one lax.scan: no per-step host round-trips.
 """
 
 from __future__ import annotations
@@ -19,24 +20,30 @@ import jax.numpy as jnp
 
 from .optim import partition_trainable
 
-__all__ = ["hmc_sample", "HMCState"]
+__all__ = ["hmc_sample", "HMCInfo"]
 
 
-class HMCState(NamedTuple):
-    position: jnp.ndarray     # raveled trainable leaves
-    log_prob: jnp.ndarray
-    accept_rate: jnp.ndarray
+class HMCInfo(NamedTuple):
+    accept_rate: float        # over the whole chain (burn + sampling)
+    step_size: float          # final (adapted) step size
+    final_log_prob: float
 
 
 def hmc_sample(model, log_prob_fn: Callable, key,
                num_samples: int = 100, num_burn: int = 100,
                step_size: float = 0.01, num_leapfrog: int = 10,
-               freeze=None):
-    """Run HMC; returns (samples, accept_rate, rebuild).
+               freeze=None, adapt_step_size: bool = False,
+               target_accept: float = 0.8):
+    """Run HMC; returns (samples, accept_rate, rebuild, info).
 
     ``samples`` is (num_samples, P) raveled positions; ``rebuild(vec)``
     maps a position back to a model.  log_prob_fn(model) -> scalar
     log target (un-normalized posterior).
+
+    ``adapt_step_size=True`` tunes the leapfrog step size by dual
+    averaging toward ``target_accept`` during the ``num_burn``
+    iterations, then freezes it at the averaged value for sampling —
+    ``step_size`` becomes the initial guess.
     """
     flat0, rebuild = partition_trainable(model, freeze=freeze)
 
@@ -44,6 +51,10 @@ def hmc_sample(model, log_prob_fn: Callable, key,
         return log_prob_fn(rebuild(v))
 
     logp_grad = jax.value_and_grad(logp)
+    dtype = flat0.dtype
+    # dual-averaging constants (Hoffman & Gelman 2014)
+    da_mu = jnp.asarray(jnp.log(10.0 * step_size), dtype=dtype)
+    da_t0, da_gamma, da_kappa = 10.0, 0.05, 0.75
 
     def leapfrog(q, p, eps):
         lp, g = logp_grad(q)
@@ -62,30 +73,60 @@ def hmc_sample(model, log_prob_fn: Callable, key,
         p = p + 0.5 * eps * g
         return q, p, lp_new
 
-    def kernel(carry, key):
-        q, lp, acc = carry
+    def kernel(carry, inp):
+        key, it = inp
+        q, lp, acc, log_eps, log_eps_bar, Hbar = carry
         kp, ku = jax.random.split(key)
-        p0 = jax.random.normal(kp, q.shape, dtype=q.dtype)
-        q_new, p_new, lp_new = leapfrog(q, p0, step_size)
+        in_burn = it < num_burn
+        if adapt_step_size:
+            eps = jnp.exp(jnp.where(in_burn, log_eps, log_eps_bar))
+        else:
+            eps = jnp.asarray(step_size, dtype=dtype)
+        p0 = jax.random.normal(kp, q.shape, dtype=dtype)
+        q_new, p_new, lp_new = leapfrog(q, p0, eps)
         log_alpha = (lp_new - lp
                      - 0.5 * jnp.sum(p_new ** 2)
                      + 0.5 * jnp.sum(p0 ** 2))
-        accept = jnp.log(jax.random.uniform(ku, dtype=q.dtype)) < log_alpha
+        # divergences (NaN energy) count as acceptance probability 0
+        alpha = jnp.where(jnp.isnan(log_alpha), 0.0,
+                          jnp.minimum(1.0, jnp.exp(log_alpha)))
+        accept = (jnp.log(jax.random.uniform(ku, dtype=dtype))
+                  < jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha))
         q = jnp.where(accept, q_new, q)
         lp = jnp.where(accept, lp_new, lp)
-        acc = acc + accept.astype(q.dtype)
-        return (q, lp, acc), q
+        acc = acc + accept.astype(dtype)
+
+        if adapt_step_size:
+            m = (it + 1).astype(dtype)
+            Hbar_n = ((1.0 - 1.0 / (m + da_t0)) * Hbar
+                      + (target_accept - alpha) / (m + da_t0))
+            log_eps_n = da_mu - jnp.sqrt(m) / da_gamma * Hbar_n
+            eta = m ** (-da_kappa)
+            log_eps_bar_n = eta * log_eps_n + (1.0 - eta) * log_eps_bar
+            Hbar = jnp.where(in_burn, Hbar_n, Hbar)
+            log_eps = jnp.where(in_burn, log_eps_n, log_eps)
+            log_eps_bar = jnp.where(in_burn, log_eps_bar_n, log_eps_bar)
+        return (q, lp, acc, log_eps, log_eps_bar, Hbar), q
 
     lp0 = logp(flat0)
-    keys = jax.random.split(key, num_burn + num_samples)
+    total = num_burn + num_samples
+    keys = jax.random.split(key, total)
+    its = jnp.arange(total)
 
     @jax.jit
     def run(flat0, lp0, keys):
-        carry = (flat0, lp0, jnp.zeros((), dtype=flat0.dtype))
-        carry, qs = jax.lax.scan(kernel, carry, keys)
+        zero = jnp.zeros((), dtype=dtype)
+        carry = (flat0, lp0, zero,
+                 jnp.asarray(jnp.log(step_size), dtype=dtype),
+                 jnp.asarray(jnp.log(step_size), dtype=dtype), zero)
+        carry, qs = jax.lax.scan(kernel, carry, (keys, its))
         return carry, qs
 
-    (qf, lpf, acc), qs = run(flat0, lp0, keys)
+    (qf, lpf, acc, log_eps, log_eps_bar, _), qs = run(flat0, lp0, keys)
     samples = qs[num_burn:]
-    accept_rate = float(acc) / (num_burn + num_samples)
-    return samples, accept_rate, rebuild
+    accept_rate = float(acc) / total
+    final_eps = float(jnp.exp(log_eps_bar)) if adapt_step_size \
+        else float(step_size)
+    info = HMCInfo(accept_rate=accept_rate, step_size=final_eps,
+                   final_log_prob=float(lpf))
+    return samples, accept_rate, rebuild, info

@@ -126,8 +126,15 @@ def make_natgrad_adam_step(adam_tx: optax.GradientTransformation,
             idx = jax.random.randint(kb, (batch_size,), 0, X.shape[0])
             X, Y = X[idx], Y[idx]
 
-        # --- natural-gradient action on the selected layers
-        grads = jax.grad(loss_fn)(model, X, Y, k1)
+        # --- natural-gradient action on the selected layers.
+        # full-f32 matmuls: the natural-parameter round trip consumes
+        # these grads through matrix inversions, and TPU's default
+        # bf16-class matmul precision makes the stepped precision go
+        # indefinite within ~100 iters (measured; NaN'd the round-2
+        # parity runs).  Costs ~0 on CPU, a modest slowdown on TPU,
+        # and only on the natgrad action.
+        with jax.default_matmul_precision("highest"):
+            grads = jax.grad(loss_fn)(model, X, Y, k1)
         layers = list(model.layers)
         for i in ng_layers:
             li = i % len(layers)
@@ -135,7 +142,8 @@ def make_natgrad_adam_step(adam_tx: optax.GradientTransformation,
             m_new, L_new = natgrad_update(
                 layer.q_mu.value, layer.q_sqrt.value,
                 glayer.q_mu.unconstrained,
-                jnp.tril(glayer.q_sqrt.unconstrained), gamma)
+                jnp.tril(glayer.q_sqrt.unconstrained), gamma,
+                jitter=getattr(layer, "jitter", 1e-12))
             layers[li] = layer.replace(
                 q_mu=layer.q_mu.with_value(m_new),
                 q_sqrt=layer.q_sqrt.with_value(L_new))
@@ -244,16 +252,25 @@ def evaluate_regression(model, Xs, Ys, Y_std, S: int = 100,
     for mb in range(-(-len(Xs) // batch_size)):
         x = jnp.asarray(Xs[mb * batch_size:(mb + 1) * batch_size])
         m, v = predict(model, x, jax.random.fold_in(key, mb))
-        means.append(np.asarray(m))
-        vars_.append(np.asarray(v))
+        m, v = np.asarray(m), np.asarray(v)
+        if m.ndim == 2:   # models that squeeze the sample axis (SVGP)
+            m, v = m[None], v[None]
+        means.append(m)
+        vars_.append(v)
     mean_SND = np.concatenate(means, 1)
     var_SND = np.concatenate(vars_, 1)
     mean_ND = np.average(mean_SND, 0)
 
     test_err = np.average(Y_std * np.mean((Ys - mean_ND) ** 2.0) ** 0.5)
-    test_nll_ND = logsumexp(
+    # per-point log predictive density of the S-sample Gaussian mixture.
+    # NB the reference names this variable test_nll (run_regression.py:
+    # 121-123) but it IS the mean log-likelihood (logsumexp of logpdfs,
+    # higher = better); round 1 copied the misleading name and returned
+    # the two fields swapped, silently sign-flipping every reported
+    # loglik.
+    test_loglik_ND = logsumexp(
         norm.logpdf(Ys * Y_std, mean_SND * Y_std, var_SND ** 0.5 * Y_std),
         0, b=1 / float(S))
-    test_nll = np.average(test_nll_ND)
-    return {"rmse": float(test_err), "nll": float(test_nll),
-            "loglik": float(-test_nll)}
+    test_loglik = np.average(test_loglik_ND)
+    return {"rmse": float(test_err), "nll": float(-test_loglik),
+            "loglik": float(test_loglik)}

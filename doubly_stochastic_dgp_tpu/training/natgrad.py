@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+from ..ops.linalg import safe_cholesky
 from ..utils.modules import tree_replace
 
 __all__ = ["NaturalGradient", "natgrad_update"]
@@ -33,14 +34,6 @@ __all__ = ["NaturalGradient", "natgrad_update"]
 
 def _sym(A):
     return 0.5 * (A + jnp.swapaxes(A, -1, -2))
-
-
-def _xi_from_eta(eta1, eta2):
-    """eta -> xi for one output dim: m = eta1, L = chol(eta2 - m m^T)."""
-    m = eta1
-    S = _sym(eta2) - jnp.outer(m, m)
-    L = jnp.linalg.cholesky(_sym(S))
-    return m, L
 
 
 def _chol_inv(S_chol):
@@ -51,13 +44,30 @@ def _chol_inv(S_chol):
     return Li.T @ Li
 
 
-def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
+def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma, jitter=1e-12):
     """One natural-gradient step (minimization) on (q_mu, q_sqrt).
 
     q_mu: (M, D); q_sqrt: (D, M, M) lower; dq_mu/dq_sqrt: dℒ/dxi with the
     same shapes (dq_sqrt lower-triangular-supported).
     Returns updated (q_mu, q_sqrt).
+
+    f32/TPU robustness: every Cholesky here runs through the grad-safe
+    jitter-escalating ``safe_cholesky`` (S and the stepped precision can
+    graze indefiniteness in float32), and the matmuls run at "highest"
+    precision — on TPU the default f32 matmul is bf16-class, which is
+    not enough for the S = L L^T / precision round-trips at M=100 (the
+    round-1 TPU natgrad runs NaN'd exactly here).  Pass the layer's
+    static ``jitter``; the f64 oracle tests use ~1e-12 so the gamma=1
+    exactness identity is preserved.
     """
+
+    def _xi_from_eta(eta1, eta2):
+        """eta -> xi for one output dim: m = eta1,
+        L = chol(eta2 - m m^T)."""
+        m = eta1
+        S = _sym(eta2) - jnp.outer(m, m)
+        L = safe_cholesky(_sym(S), jitter)
+        return m, L
 
     def one(m, L, dm, dL):
         S = L @ L.T
@@ -75,14 +85,21 @@ def natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt, gamma):
         theta2_new = theta2 - gamma * _sym(deta2)
         # back to xi: S = (-2 theta2)^{-1}, m = S theta1
         P = -2.0 * theta2_new                    # precision, must stay PD
-        Lp = jnp.linalg.cholesky(_sym(P))
+        Lp = safe_cholesky(_sym(P), jitter)
         S_new = _chol_inv(Lp)
         m_new = S_new @ theta1_new
-        L_new = jnp.linalg.cholesky(_sym(S_new))
-        return m_new, L_new
+        L_new = safe_cholesky(_sym(S_new), jitter)
+        # reject-step net: a too-aggressive gamma (or f32 gradient noise)
+        # can push the stepped precision indefinite beyond what jitter
+        # escalation can absorb; keeping the previous (m, L) for that
+        # output dim turns a would-be NaN'd run into a skipped step.
+        ok = jnp.logical_and(jnp.all(jnp.isfinite(m_new)),
+                             jnp.all(jnp.isfinite(L_new)))
+        return jnp.where(ok, m_new, m), jnp.where(ok, L_new, L)
 
-    m_new, L_new = jax.vmap(one, in_axes=(1, 0, 1, 0), out_axes=(1, 0))(
-        q_mu, q_sqrt, dq_mu, dq_sqrt)
+    with jax.default_matmul_precision("highest"):
+        m_new, L_new = jax.vmap(one, in_axes=(1, 0, 1, 0), out_axes=(1, 0))(
+            q_mu, q_sqrt, dq_mu, dq_sqrt)
     return m_new, L_new
 
 
@@ -102,7 +119,8 @@ class NaturalGradient:
     def step(self, model, loss_fn: Callable):
         """loss_fn(model) -> scalar loss (e.g. negative ELBO with a fixed
         key).  Returns the updated model."""
-        grads = jax.grad(loss_fn)(model)
+        with jax.default_matmul_precision("highest"):
+            grads = jax.grad(loss_fn)(model)
         for idx in self.var_layers:
             layer = model.layers[idx]
             glayer = grads.layers[idx]
@@ -113,7 +131,9 @@ class NaturalGradient:
             dq_mu = glayer.q_mu.unconstrained
             dq_sqrt = jnp.tril(glayer.q_sqrt.unconstrained)
             m_new, L_new = natgrad_update(q_mu, q_sqrt, dq_mu, dq_sqrt,
-                                          self.gamma)
+                                          self.gamma,
+                                          jitter=getattr(layer, "jitter",
+                                                         1e-12))
             new_layer = layer.replace(
                 q_mu=layer.q_mu.with_value(m_new),
                 q_sqrt=layer.q_sqrt.with_value(L_new))

@@ -15,20 +15,28 @@ from doubly_stochastic_dgp_tpu.ops.pallas.conditional import (
     fused_conditional, fused_conditional_reference)
 
 
-def timeit(f, *args, n=20):
+def timeit(f, *args, n=50, repeats=3):
+    """Best-of-repeats mean ms per call (the tunneled chip shows ~30%
+    run-to-run noise; min filters scheduler/tunnel hiccups)."""
     o = f(*args)
     jax.tree_util.tree_leaves(o)[0].block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(n):
-        o = f(*args)
-    jax.tree_util.tree_leaves(o)[0].block_until_ready()
-    return (time.perf_counter() - t0) / n * 1e3  # ms
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = f(*args)
+        jax.tree_util.tree_leaves(o)[0].block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / n * 1e3)
+    return best
 
 
 def main():
-    B, Dx, Do = 8192, 8, 8
+    B, Dx = 8192, 8
+    Do = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     rng = np.random.RandomState(0)
-    for M in (100, 256, 512):
+    # Do > 4 at M=1024: the backward's W_d + accumulating dW_d double
+    # buffers exceed VMEM; the shape gate excludes that corner
+    for M in ((100, 128, 256, 512) if Do > 4 else (100, 128, 256, 512, 1024)):
         Xs = jnp.asarray(rng.randn(B, Dx), jnp.float32)
         Zs = jnp.asarray(rng.randn(M, Dx), jnp.float32)
         alpha = jnp.asarray(rng.randn(M, Do) * 0.1, jnp.float32)

@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""Offline results-parity harness (round-1 VERDICT next-step #2).
+
+Reproduces the *qualitative structure* of the reference's published
+kin8nm results (demo_regression_UCI.ipynb cells 15/17, pinned in
+BASELINE.md):
+
+  - DGP2/DGP3 beat DGP1 ~= SVGP on held-out test log-likelihood;
+  - the alternating NatGrad(gamma=0.1)+Adam loop at ~100 iterations is
+    already close to its own fully-trained number (the ~50x convergence
+    speedup of the AISTATS follow-up), and far ahead of Adam at the same
+    iteration count.
+
+Runs on the real kin8nm CSV automatically when data/kin8nm.csv exists;
+otherwise on the compositional synthetic dataset (non-stationary warp,
+the regime where depth provably helps).  Writes a markdown table +
+JSON to RESULTS.md and results_parity.json.
+
+Usage:
+  python scripts/results_parity.py [--iterations 2000] [--check]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def build_dgp(dsd, X, Y, Z, L, num_samples=5):
+    D = X.shape[1]
+    kernels = []
+    for l in range(L):
+        k = dsd.RBF.make(D)
+        if l < L - 1:
+            k = k + dsd.White.make(D, variance=2e-6, trainable=False)
+        kernels.append(k)
+    m = dsd.DGP.build(X, Y, Z.copy(), kernels, dsd.Gaussian.make(0.05),
+                      num_samples=num_samples)
+    # near-deterministic inner layers (reference run_regression.py:71-74)
+    layers = list(m.layers)
+    for i, layer in enumerate(layers[:-1]):
+        layers[i] = layer.replace(
+            q_sqrt=layer.q_sqrt.with_value(layer.q_sqrt.value * 1e-5))
+    return m.replace(layers=layers)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iterations", type=int, default=2000)
+    p.add_argument("--early-iter", type=int, default=100,
+                   help="mid-training evaluation point (natgrad claim)")
+    p.add_argument("--split", type=int, default=0)
+    p.add_argument("--eval-samples", type=int, default=100)
+    p.add_argument("--data-path", default="data/")
+    p.add_argument("--out", default="RESULTS.md")
+    p.add_argument("--json-out", default="results_parity.json")
+    p.add_argument("--check", action="store_true",
+                   help="assert the qualitative published structure")
+    p.add_argument("--float64", action="store_true")
+    p.add_argument("--from-json", default=None,
+                   help="skip training; regenerate the report from a "
+                        "previously saved results_parity.json")
+    args = p.parse_args()
+
+    if args.from_json:
+        with open(args.from_json) as f:
+            payload = json.load(f)
+        write_report(args, payload)
+        return
+
+    import jax
+    import doubly_stochastic_dgp_tpu as dsd
+    from doubly_stochastic_dgp_tpu.config import config
+    from doubly_stochastic_dgp_tpu.data.datasets import (
+        CompositionalRegression, Datasets)
+    from doubly_stochastic_dgp_tpu.training.loop import (evaluate_regression,
+                                                         fit)
+
+    if args.float64:
+        dsd.set_default_float("float64")
+        dtype = "float64"
+    else:
+        dsd.set_default_float("float32")
+        dsd.set_default_jitter(1e-5)
+        config.solve_mode = "inverse"
+        dtype = "float32"
+
+    # real kin8nm when cached; compositional synthetic otherwise
+    kin = Datasets(args.data_path).all_datasets["kin8nm"]
+    if os.path.exists(kin.csv_file_path()):
+        data = kin.get_data(split=args.split)
+        ds_name, real = "kin8nm", True
+    else:
+        data = CompositionalRegression(data_path=args.data_path).get_data(
+            split=args.split)
+        ds_name, real = "compositional_synth", False
+    X, Y, Xs, Ys, Y_std = (data[k] for k in ["X", "Y", "Xs", "Ys", "Y_std"])
+    X, Y, Xs, Ys = (a.astype(dtype) for a in (X, Y, Xs, Ys))
+    print(f"##### results-parity on {ds_name} (real={real}) "
+          f"N={X.shape[0]} D={X.shape[1]} Ns={Xs.shape[0]}", flush=True)
+
+    from scipy.cluster.vq import kmeans2
+    M = min(100, X.shape[0])
+    Z = kmeans2(X, M, minit="points", seed=0)[0].astype(dtype)
+
+    batch = min(1000, X.shape[0])
+    results = {}
+
+    def eval_svgp(m):
+        """Deterministic single-layer predictive (SVGP.predict_y squeezes
+        the sample axis, so the S-mixture evaluator does not apply)."""
+        from scipy.stats import norm
+        pf = jax.jit(lambda mm, x: mm.predict_y(x))
+        means, vars_ = [], []
+        for mb in range(-(-len(Xs) // 1000)):
+            mean, var = pf(m, Xs[mb * 1000:(mb + 1) * 1000])
+            means.append(np.asarray(mean))
+            vars_.append(np.asarray(var))
+        mean = np.concatenate(means, 0)
+        var = np.concatenate(vars_, 0)
+        rmse = float(np.average(Y_std * np.mean((Ys - mean) ** 2) ** 0.5))
+        ll = float(np.average(
+            norm.logpdf(Ys * Y_std, mean * Y_std, var ** 0.5 * Y_std)))
+        return {"loglik": ll, "rmse": rmse, "nll": -ll}
+
+    def run(name, model, natgrad_gamma=None):
+        evals = {}
+        ev = eval_svgp if name == "SVGP" else (
+            lambda m: evaluate_regression(m, Xs, Ys, Y_std,
+                                          S=args.eval_samples,
+                                          batch_size=1000))
+
+        def cb(step, m, loss, stats):
+            if step == args.early_iter:
+                evals["early"] = ev(m)
+
+        t0 = time.perf_counter()
+        model, hist = fit(model, args.iterations, learning_rate=0.01,
+                          batch_size=batch, natgrad_gamma=natgrad_gamma,
+                          log_every=args.early_iter, callbacks=[cb])
+        dt = time.perf_counter() - t0
+        final = ev(model)
+        rec = {"loglik": final["loglik"], "rmse": final["rmse"],
+               "loglik_early": evals.get("early", {}).get("loglik"),
+               "rmse_early": evals.get("early", {}).get("rmse"),
+               "train_seconds": round(dt, 1),
+               "steps_per_sec": round(args.iterations / dt, 1)}
+        results[name] = rec
+        print(f"{name:14s} loglik {rec['loglik']:+.4f} "
+              f"rmse {rec['rmse']:.4f} "
+              f"(@{args.early_iter}: {rec['loglik_early']}) "
+              f"[{rec['steps_per_sec']} it/s]", flush=True)
+        return model
+
+    D = X.shape[1]
+    # white=False so SVGP and DGP1 share the prior-Cholesky q_sqrt init
+    # (isolates the depth effect; the reference's published table trains
+    # both to convergence where the parameterization washes out)
+    run("SVGP", dsd.SVGP.build(X, Y, dsd.RBF.make(D),
+                               dsd.Gaussian.make(0.05), Z.copy(),
+                               white=False))
+    for L in (1, 2, 3):
+        run(f"DGP{L}", build_dgp(dsd, X, Y, Z, L))
+    for L in (1, 2, 3):
+        run(f"DGP{L}_ng", build_dgp(dsd, X, Y, Z, L), natgrad_gamma=0.1)
+
+    payload = {"dataset": ds_name, "real_data": real, "dtype": dtype,
+               "iterations": args.iterations,
+               "early_iter": args.early_iter, "M": int(M),
+               "minibatch": int(batch), "results": results}
+    with open(args.json_out, "w") as f:
+        json.dump(payload, f, indent=1)
+    write_report(args, payload)
+
+
+def write_report(args, payload):
+    results = payload["results"]
+    real = payload["real_data"]
+    early_iter = payload["early_iter"]
+    lines = [
+        "# RESULTS — offline published-structure parity",
+        "",
+        f"Dataset: **{payload['dataset']}** (real={real}), "
+        f"{payload['dtype']}, M={payload['M']}, "
+        f"minibatch {payload['minibatch']}, "
+        f"{payload['iterations']} iters on one TPU v5e chip "
+        f"(early eval @ {early_iter}).",
+        "",
+        "Reference structure being reproduced "
+        "(demo_regression_UCI.ipynb cells 15/17, BASELINE.md): "
+        "DGP2/3 > DGP1 ~= SVGP on held-out log-likelihood; the "
+        "alternating NatGrad(0.1)+Adam loop converging much faster than "
+        "Adam alone (and, on the real kin8nm CSV, ~converged by ~100 "
+        "iterations).  loglik = mean log predictive density "
+        "(higher is better); evaluation uses the S=100-sample mixture "
+        "in 1000-row batches exactly as run_regression.py:109-123.",
+        "",
+        "| model | test loglik | test RMSE | loglik @"
+        f"{early_iter} | it/s |",
+        "|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        e = ("—" if r["loglik_early"] is None
+             else f"{r['loglik_early']:+.4f}")
+        lines.append(f"| {name} | {r['loglik']:+.4f} | {r['rmse']:.4f} "
+                     f"| {e} | {r['steps_per_sec']} |")
+    checks = qualitative_checks(results, real=real)
+    lines += ["", "## Qualitative checks", ""]
+    for desc, ok in checks:
+        lines.append(f"- {'PASS' if ok else 'FAIL'}: {desc}")
+    if not real:
+        lines += [
+            "",
+            "Run `python scripts/results_parity.py` with the real "
+            "`data/kin8nm.csv` present to reproduce the published "
+            "numbers themselves (DGP2 ~ 1.29 loglik / 0.066 RMSE, "
+            "BASELINE.md); offline this uses the compositional "
+            "synthetic where the same qualitative structure holds.",
+        ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(payload))
+    for desc, ok in checks:
+        print(("PASS " if ok else "FAIL ") + desc, flush=True)
+    if args.check and not all(ok for _, ok in checks):
+        sys.exit(1)
+
+
+def qualitative_checks(results, real=False):
+    ll = {k: v["loglik"] for k, v in results.items()}
+    early = {k: v["loglik_early"] for k, v in results.items()}
+    checks = [
+        ("depth helps: DGP2 > DGP1 on held-out loglik",
+         ll["DGP2"] > ll["DGP1"] + 0.02),
+        ("DGP3 holds DGP2's gains (>= DGP2 - 0.05)",
+         ll["DGP3"] >= ll["DGP2"] - 0.05),
+        ("DGP1 ~= SVGP (within 0.15 nats)",
+         abs(ll["DGP1"] - ll["SVGP"]) < 0.15),
+        ("natgrad converges faster: DGP2_ng @early > DGP2(Adam) @early",
+         early["DGP2_ng"] is not None and early["DGP2"] is not None
+         and early["DGP2_ng"] > early["DGP2"] + 0.02),
+        ("natgrad endpoint >= Adam endpoint - 0.05 (DGP2)",
+         ll["DGP2_ng"] >= ll["DGP2"] - 0.05),
+    ]
+    if real:
+        # the published ~50x-convergence artifact (UCI nb cell 17) is a
+        # kin8nm statement: smooth data where the fit is dominated by
+        # the variational parameters natgrad accelerates.  On the harder
+        # compositional synthetic the kernel hyperparameters need the
+        # full run, so this check only applies on the real CSV.
+        checks.append(
+            ("natgrad DGP2 @early within 0.1 of its trained number",
+             early["DGP2_ng"] is not None
+             and early["DGP2_ng"] >= ll["DGP2_ng"] - 0.1))
+    return checks
+
+
+if __name__ == "__main__":
+    main()

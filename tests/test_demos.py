@@ -10,7 +10,8 @@ import pytest
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _run(args, timeout=240):
+def _run(args, timeout=480):  # generous: xdist runs these under heavy
+    # CPU contention and the mnist demo's compile has hit 240s
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""       # skip the TPU claim
     env["JAX_PLATFORMS"] = "cpu"

@@ -45,6 +45,17 @@ def test_fused_elbo_and_grads_match_xla():
                         atol=1e-10)
 
 
+def test_auto_mode_on_cpu_takes_xla_path():
+    """use_pallas='auto' must resolve to the XLA path off-TPU (and thus
+    agree exactly with use_pallas=False)."""
+    m = _model()
+    m_auto = with_config(m, use_pallas="auto")
+    m_off = with_config(m, use_pallas=False)
+    l_a = float(_det_loss(m_auto))
+    l_o = float(_det_loss(m_off))
+    assert l_a == l_o
+
+
 def test_fused_predictions_match():
     m = _model()
     Xs = jnp.asarray(np.random.rand(20, 3))

@@ -152,6 +152,33 @@ def test_evaluate_regression_metrics():
     assert res["loglik"] == -res["nll"]
 
 
+class _EchoPredictor(Module):
+    """predict_y returns the input itself as the mean (test stub)."""
+    noise: float = None
+
+    def predict_y(self, x, S, key=None):
+        m = jnp.tile(x[None], (S, 1, 1))
+        return m, jnp.full_like(m, self.noise)
+
+
+def test_evaluate_regression_loglik_sign_and_ordering():
+    """Round-1 bug: the nll/loglik fields were swapped (the reference's
+    `test_nll` variable actually holds the mean log-density).  A sharp
+    predictor must report a large POSITIVE loglik; predicting the same
+    targets with a wrong offset must report a smaller one."""
+    rng = np.random.RandomState(0)
+    Y = rng.randn(50, 1)
+    good = evaluate_regression(_EchoPredictor(noise=0.01), Y, Y,
+                               Y_std=np.array([1.0]), S=4, batch_size=25)
+    bad = evaluate_regression(_EchoPredictor(noise=0.01), Y + 1.0, Y,
+                              Y_std=np.array([1.0]), S=4, batch_size=25)
+    # perfect mean, sigma=0.1: logpdf = -log(sqrt(2*pi)*0.1) ~ +1.38
+    assert good["loglik"] > 1.0, good
+    assert good["loglik"] > bad["loglik"] + 10.0
+    assert good["rmse"] < 1e-6
+    assert bad["rmse"] > 0.9
+
+
 class _Quad(Module):
     v: Param = None
 
@@ -163,12 +190,39 @@ def test_hmc_gaussian_target():
     def logp(m):
         return -0.5 * jnp.sum((m.v.value - c) ** 2)
 
-    samples, acc, rebuild = hmc_sample(
+    samples, acc, rebuild, _info = hmc_sample(
         model, logp, jax.random.PRNGKey(0), num_samples=1500,
         num_burn=300, step_size=0.3, num_leapfrog=8)
     assert 0.4 < acc <= 1.0
     assert_allclose(samples.mean(0), np.asarray(c), atol=0.15)
     assert_allclose(samples.std(0), np.ones(3), atol=0.2)
+
+
+def test_hmc_dual_averaging_adapts_step_size():
+    """Dual averaging must rescue a badly mis-tuned initial step size:
+    starting at eps=2.0 (near-0 acceptance un-adapted) it should land
+    near the target acceptance and still recover the target moments."""
+    c = jnp.asarray(np.array([1.0, -2.0, 0.5]))
+    model = _Quad(v=Param.create(np.zeros(3)))
+
+    def logp(m):
+        return -0.5 * jnp.sum((m.v.value - c) ** 2)
+
+    # un-adapted baseline: eps=2.0 barely accepts
+    _, acc_raw, _, _ = hmc_sample(
+        model, logp, jax.random.PRNGKey(1), num_samples=300,
+        num_burn=50, step_size=2.0, num_leapfrog=8)
+
+    samples, acc, rebuild, info = hmc_sample(
+        model, logp, jax.random.PRNGKey(1), num_samples=4000,
+        num_burn=500, step_size=2.0, num_leapfrog=8,
+        adapt_step_size=True, target_accept=0.8)
+    assert acc > acc_raw + 0.2, (acc, acc_raw)
+    assert 0.55 < acc <= 1.0
+    assert 0.0 < info.step_size < 2.0
+    assert_allclose(samples.mean(0), np.asarray(c), atol=0.2)
+    # HMC chains are autocorrelated: generous tolerance on the stds
+    assert_allclose(samples.std(0), np.ones(3), atol=0.35)
 
 
 def test_trainable_mask_buffers_false():
