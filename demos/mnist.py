@@ -37,6 +37,9 @@ def main():
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the minibatch over all local devices "
                         "(BASELINE config #4)")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="evaluate test accuracy every N iterations "
+                        "(0 = final only)")
     args = p.parse_args()
 
     import jax
@@ -102,11 +105,33 @@ def main():
                 print(f"[dp x{n_dev}] iter {i+1}: loss {float(loss):.2f}",
                       flush=True)
     else:
+        next_eval = {"at": args.eval_every or float("inf")}
+
+        def acc_cb(step_i, m, loss, stats):
+            if step_i >= next_eval["at"]:
+                next_eval["at"] = step_i + args.eval_every
+                a, l = _evaluate(m, Xs, Ys)
+                stats["test_acc"] = a
+                print(f"  iter {step_i}: test acc {a:.4f} "
+                      f"loglik {l:.4f}", flush=True)
+
         model, hist = fit(model, args.iterations, learning_rate=0.01,
                           batch_size=args.minibatch,
-                          callbacks=[PrintTimings()], log_every=100)
+                          callbacks=[PrintTimings(), acc_cb],
+                          log_every=100)
 
-    # evaluation: predictive class probabilities, S=25 samples
+    acc, ll = _evaluate(model, Xs, Ys)
+    print(json.dumps({"accuracy": acc, "test_loglik": ll,
+                      "layers": args.layers,
+                      "final_loss": hist[-1]["loss"]}))
+
+
+def _evaluate(model, Xs, Ys):
+    """Predictive class probabilities, S=25 samples, 1000-row batches
+    (reference demo_mnist.ipynb cell 11)."""
+    import jax
+    import numpy as np
+
     predict = jax.jit(lambda m, x, k: m.predict_y(x, S=25, key=k))
     key = jax.random.PRNGKey(0)
     correct, lls = 0, []
@@ -119,11 +144,7 @@ def main():
         correct += int((probs.argmax(1) == y[:, 0]).sum())
         lls.append(np.log(np.maximum(
             probs[np.arange(len(y)), y[:, 0].astype(int)], 1e-12)))
-    acc = correct / len(Xs)
-    ll = float(np.concatenate(lls).mean())
-    print(json.dumps({"accuracy": acc, "test_loglik": ll,
-                      "layers": args.layers,
-                      "final_loss": hist[-1]["loss"]}))
+    return correct / len(Xs), float(np.concatenate(lls).mean())
 
 
 if __name__ == "__main__":

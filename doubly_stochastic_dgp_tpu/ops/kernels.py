@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,18 +48,32 @@ class Kernel(Module):
         return Product(kernels=[self, other], input_dim=self.input_dim)
 
 
+def _cross(A, B):
+    # full-f32 MXU passes for the distance cross term: TPU's default
+    # bf16-class f32 matmul carries ~1% relative error, and at high
+    # input dim / large input magnitude (e.g. the 784-dim MNIST layer,
+    # or PCA-projected hidden inputs with ||x|| ~ 15) the x^2+z^2-2xz
+    # cancellation then yields "squared distances" wrong by O(100) —
+    # enough to make the gram indefinite beyond any jitter (measured:
+    # NaN'd the MNIST-scale TPU runs).  The gram matmul is O(N*M*D)
+    # against the conditional's O(N*M^2*Do), so the extra passes are
+    # a small fraction of total flops at DGP shapes.
+    return jax.lax.dot_general(A, B, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
+
+
 def _square_dist(X, X2):
     """Pairwise squared Euclidean distance, clipped at 0.
 
     Computed as ||x||^2 + ||z||^2 - 2 x.z so the cross term is a single
-    MXU matmul.
+    MXU matmul (at HIGHEST precision — see _cross).
     """
     Xs = jnp.sum(X ** 2, axis=-1, keepdims=True)            # (N, 1)
     if X2 is None:
-        d = Xs + Xs.T - 2.0 * (X @ X.T)
+        d = Xs + Xs.T - 2.0 * _cross(X, X.T)
     else:
         X2s = jnp.sum(X2 ** 2, axis=-1, keepdims=True)      # (M, 1)
-        d = Xs + X2s.T - 2.0 * (X @ X2.T)
+        d = Xs + X2s.T - 2.0 * _cross(X, X2.T)
     return jnp.maximum(d, 0.0)
 
 

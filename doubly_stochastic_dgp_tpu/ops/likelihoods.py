@@ -196,7 +196,13 @@ class MultiClass(Likelihood):
         oh = jax.nn.one_hot(Yidx, self.num_classes, dtype=dtype)  # (N, K)
         # selected mean/var: (..., N, 1)
         mu_sel = jnp.sum(Fmu * oh, axis=-1, keepdims=True)
-        var_sel = jnp.sum(Fvar * oh, axis=-1, keepdims=True)
+        # floor: the conditional variance is clamped at 0 upstream
+        # (float32 Kff - Qff cancellation), and d sqrt(v)/dv -> inf at
+        # v = 0 — a finite forward with infinite gradients (NaN'd the
+        # MNIST-scale TPU runs).  maximum() has zero gradient in the
+        # clamped region, so the floor is grad-safe.
+        var_sel = jnp.maximum(
+            jnp.sum(Fvar * oh, axis=-1, keepdims=True), 1e-10)
         # quadrature locations for the selected latent: (..., N, H)
         X = mu_sel + jnp.sqrt(2.0 * var_sel) * gh_x
         # CDF of every other latent at X: (..., N, K, H)

@@ -60,6 +60,10 @@ def ndiagquad(funcs, H: int, Fmu, Fvar, logspace: bool = False, **Ys):
     shape = (H,) + (1,) * jnp.ndim(Fmu)
     xn = x.reshape(shape)
     wn = w.reshape(shape)
+    # floor: d sqrt(v)/dv -> inf at v = 0, and the upstream conditional
+    # variance is clamped at exactly 0 in float32; maximum() is
+    # zero-gradient below the floor, keeping grads finite.
+    Fvar = jnp.maximum(Fvar, 1e-12)
     X = Fmu[None] + jnp.sqrt(2.0 * Fvar)[None] * xn            # (H, ..., D)
 
     def one(f):

@@ -1,0 +1,194 @@
+"""Output-dimension (model-parallel) sharding of a DGP over a mesh axis.
+
+SURVEY §2.4's third parallelism axis ("output-dim / batched-linalg
+parallelism") as a real mesh axis — the tensor-parallel analogue for
+this model family.  Each layer's D_out-batched variational parameters
+(q_mu columns, q_sqrt's leading axis) and the column axis of any Linear
+skip-connection mean shard over the mesh; kernels, inducing inputs and
+the minibatch stay replicated.  Every device computes the conditional +
+reparameterized sample for its own slice of latent dimensions (the
+(D, M, M)-batched Cholesky/solve/matmul work XLA otherwise vmaps on one
+chip), and the sampled dims are all-gathered over ICI before the next
+layer consumes them — one (S, N, D_l) all_gather per layer.  Gaussian
+likelihoods and the KL factorize over dims, so the loss reduction is a
+single psum.
+
+Restrictions (asserted): homogeneous SVGP layers without input
+propagation, Zero/Identity/Linear/Constant mean functions, a Gaussian
+likelihood, and every layer's D_out (and D_Y) divisible by the axis
+size.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..models.mean_functions import (Constant, Identity, Linear,
+                                     MeanFunction, Zero)
+from ..ops.likelihoods import Gaussian
+from ..ops.linalg import reparameterize
+from ..utils.modules import static_field
+
+__all__ = ["outdim_specs", "outdim_shard", "outdim_elbo",
+           "make_outdim_train_step"]
+
+
+class ShardedIdentity(MeanFunction):
+    """Identity mean under output-dim sharding: each device emits its
+    own slice of the input dims."""
+
+    width: int = static_field(default=1)       # local width
+    axis: str = static_field(default="dim")
+
+    def __call__(self, X):
+        start = jax.lax.axis_index(self.axis) * self.width
+        return jax.lax.dynamic_slice_in_dim(X, start, self.width, axis=-1)
+
+
+def _path_names(path):
+    out = []
+    for p in path:
+        n = getattr(p, "name", None)
+        if n is None:
+            n = getattr(p, "idx", getattr(p, "key", None))
+        out.append(n)
+    return out
+
+
+def outdim_specs(model, axis: str = "dim"):
+    """PartitionSpec pytree for ``model``: q_mu/q_sqrt/Linear-mean
+    leaves sharded over ``axis`` on their D_out dimension, Y_data
+    sharded over its column axis, everything else replicated."""
+
+    def spec_for(path, leaf):
+        names = _path_names(path)
+        rank = jnp.ndim(leaf)
+        if "layers" in names:
+            if "q_mu" in names:
+                return P(None, axis)
+            if "q_sqrt" in names:
+                return P(axis, None, None)
+            if "mean_function" in names:
+                if "W" in names:
+                    return P(None, axis)
+                if "b" in names or "c" in names:
+                    return P(axis)
+        if "Y_data" in names:
+            return P(None, axis)
+        return P(*([None] * rank))
+
+    return jax.tree_util.tree_map_with_path(spec_for, model)
+
+
+def outdim_shard(model, mesh: Mesh, axis: str = "dim"):
+    """device_put the model with the output-dim shardings."""
+    specs = outdim_specs(model, axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        model, specs)
+
+
+def _localize(model, n_dev: int, axis: str):
+    """Rebuild static metadata for the per-device slice: each layer's
+    num_outputs and mean function describe the local dims."""
+    layers = []
+    for layer in model.layers:
+        assert getattr(layer, "input_prop_dim", None) in (None, 0), \
+            "output-dim sharding does not support input propagation"
+        D = layer.num_outputs_
+        assert D % n_dev == 0, (
+            f"layer D_out={D} not divisible by mesh axis size {n_dev}")
+        d_local = D // n_dev
+        mf = layer.mean_function
+        if isinstance(mf, Zero):
+            mf = Zero(output_dim=d_local)
+        elif isinstance(mf, Identity):
+            mf = ShardedIdentity(width=d_local, axis=axis)
+        # Linear/Constant: their parameter leaves are already sharded by
+        # the in_specs, so the local module is correct as-is.
+        layers.append(layer.replace(num_outputs_=d_local,
+                                    mean_function=mf))
+    return model.replace(layers=layers)
+
+
+def outdim_elbo(model, X, Y, key, mesh: Mesh, axis: str = "dim",
+                batch_size: Optional[int] = None, zs=None):
+    """ELBO with every layer's latent dims sharded over ``axis``.
+
+    ``model`` is the plain (replicated-layout) model — pass it through
+    :func:`outdim_shard` first for multi-chip placement.  ``zs`` (fixed
+    whitened points per layer, each (S, 1, D_l) or (S, N, D_l)) makes
+    the bound deterministic; they are sharded on their last axis."""
+    assert isinstance(model.likelihood, Gaussian), \
+        "output-dim sharding requires a factorizing (Gaussian) likelihood"
+    n_dev = mesh.shape[axis]
+    B = batch_size or X.shape[0]
+    specs = outdim_specs(model, axis)
+    zs_specs = (None if zs is None
+                else [P(None, None, axis) for _ in zs])
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(specs, P(), P(None, axis), P(), zs_specs),
+             out_specs=P())
+    def run(model, X, Y_l, key, zs_l):
+        m = _localize(model, n_dev, axis)
+        S = m.num_samples
+        dev = jax.lax.axis_index(axis)
+        F = jnp.tile(X[None, :, :], (S, 1, 1))
+        keys = (jax.random.split(key, len(m.layers))
+                if key is not None else [None] * len(m.layers))
+        for li, layer in enumerate(m.layers):
+            mean, var = layer.conditional_SND(F)       # local dims
+            if zs_l is not None:
+                z = jnp.broadcast_to(zs_l[li], mean.shape)
+            else:
+                z = jax.random.normal(
+                    jax.random.fold_in(keys[li], dev), mean.shape,
+                    dtype=mean.dtype)
+            F_local = reparameterize(mean, var, z,
+                                     jitter=layer.jitter)
+            if li < len(m.layers) - 1:
+                # next layer consumes every dim: gather over ICI
+                F = jax.lax.all_gather(F_local, axis, axis=2,
+                                       tiled=True)
+        ve = m.likelihood.variational_expectations(mean, var, Y_l)
+        local = jnp.sum(jnp.mean(ve, axis=0))
+        KL_local = sum((l.KL() for l in m.layers),
+                       jnp.zeros((), dtype=local.dtype))
+        scale = jnp.asarray(m.num_data, dtype=local.dtype) / B
+        # both the likelihood term and the KL are sums over dims =>
+        # one psum of the local bound
+        return jax.lax.psum(local * scale - KL_local, axis)
+
+    return run(model, X, Y, key, zs)
+
+
+def make_outdim_train_step(tx: optax.GradientTransformation, mesh: Mesh,
+                           axis: str = "dim",
+                           batch_size: Optional[int] = None):
+    """Jitted train step over the output-dim mesh: grads of the sharded
+    ELBO (differentiated through shard_map; parameter grads come back
+    with their owners' shardings), replicated-safe optimizer update."""
+
+    def loss_fn(model, X, Y, key):
+        return -outdim_elbo(model, X, Y, key, mesh, axis=axis,
+                            batch_size=batch_size)
+
+    @jax.jit
+    def step(model, opt_state, X, Y, key):
+        loss, grads = jax.value_and_grad(loss_fn)(model, X, Y, key)
+        updates, opt_state = tx.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, loss
+
+    return step

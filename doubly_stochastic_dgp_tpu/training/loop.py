@@ -108,18 +108,21 @@ def make_scan_train_step(tx: optax.GradientTransformation,
 def make_natgrad_adam_step(adam_tx: optax.GradientTransformation,
                            gamma: float,
                            ng_layers: Sequence[int] = (-1,),
-                           batch_size: Optional[int] = None):
-    """One iteration of the alternating loop (reference UCI nb cell 17 /
+                           batch_size: Optional[int] = None,
+                           inner_steps: int = 1):
+    """One dispatch of the alternating loop (reference UCI nb cell 17 /
     SURVEY §3.5): a natural-gradient step on the selected layers'
-    (q_mu, q_sqrt), then an Adam step on everything else.  Entirely
-    jitted; grads are computed twice per iteration, matching the
-    reference's two optimize actions."""
+    (q_mu, q_sqrt), then an Adam step on everything else; grads are
+    computed twice per iteration, matching the reference's two optimize
+    actions.  ``inner_steps`` > 1 runs that many alternating iterations
+    per XLA dispatch via lax.scan (the same dispatch amortization as
+    make_scan_train_step)."""
 
     def loss_fn(model, X, Y, key):
         return -model.elbo(X, Y, key)
 
-    @jax.jit
-    def step(model, opt_state, key):
+    def one_iter(carry, key):
+        model, opt_state = carry
         kb, k1, k2 = jax.random.split(key, 3)
         X, Y = _stop_data_grad(model.X_data, model.Y_data)
         if batch_size is not None and batch_size < X.shape[0]:
@@ -153,7 +156,22 @@ def make_natgrad_adam_step(adam_tx: optax.GradientTransformation,
         loss, grads = jax.value_and_grad(loss_fn)(model, X, Y, k2)
         updates, opt_state = adam_tx.update(grads, opt_state, model)
         model = optax.apply_updates(model, updates)
-        return model, opt_state, loss
+        return (model, opt_state), loss
+
+    if inner_steps == 1:
+        @jax.jit
+        def step(model, opt_state, key):
+            (model, opt_state), loss = one_iter((model, opt_state), key)
+            return model, opt_state, loss
+
+        return step
+
+    @partial(jax.jit, donate_argnums=_tpu_donate())
+    def step(model, opt_state, key):
+        keys = jax.random.split(key, inner_steps)
+        (model, opt_state), losses = jax.lax.scan(
+            one_iter, (model, opt_state), keys)
+        return model, opt_state, jnp.mean(losses)
 
     return step
 
@@ -171,27 +189,27 @@ def fit(model, iterations: int, learning_rate: float = 0.01,
     (the gpflow_monitor task-loop analogue, run_regression.py:87-95).
 
     ``scan_steps``: run this many optimizer steps per XLA dispatch via
-    lax.scan (default: min(10, log_every) for the plain-Adam path — a
-    large TPU throughput win; set 1 to disable).  The natgrad path runs
-    unscanned.
+    lax.scan (default: min(10, log_every) — a large TPU throughput
+    win; set 1 to disable).  Applies to both the plain-Adam and the
+    alternating natgrad+Adam paths.
 
     ``ckpt_dir``: failure recovery (the reference's StoreSession restart
     pattern, run_regression.py:93-94): (model, opt_state) are saved
     every ``ckpt_every`` (default log_every) steps, and if a checkpoint
     already exists in the directory, training resumes from it."""
-    chunk = 1
+    if scan_steps is None:
+        scan_steps = max(1, min(10, log_every))
+    chunk = max(1, scan_steps)
     if natgrad_gamma is not None:
         adam_tx = masked_optimizer(
             optax.adam(learning_rate), model,
             freeze=freeze_q_params(ng_layers, len(model.layers)))
         step_fn = make_natgrad_adam_step(adam_tx, natgrad_gamma,
-                                         ng_layers, batch_size)
+                                         ng_layers, batch_size,
+                                         inner_steps=chunk)
         opt_state = adam_tx.init(model)
     else:
         tx = masked_optimizer(optax.adam(learning_rate), model)
-        if scan_steps is None:
-            scan_steps = max(1, min(10, log_every))
-        chunk = max(1, scan_steps)
         if chunk > 1:
             step_fn = make_scan_train_step(tx, batch_size,
                                            inner_steps=chunk)

@@ -196,3 +196,36 @@ class TestMultiClass:
         expected = np.where(hits, np.log(1 - 1e-3),
                             np.log(1e-3 / (self.K - 1)))[:, None]
         assert_allclose(lp, expected, rtol=1e-10)
+
+
+def test_zero_variance_gradients_finite():
+    """Regression (round-2 MNIST TPU NaN): the layer's variance clamp
+    can output exactly 0 in float32, and d sqrt(v)/dv is infinite at 0 —
+    every GH-quadrature likelihood path must keep gradients finite
+    there (the forward was always finite, which made this silent)."""
+    import jax
+    from doubly_stochastic_dgp_tpu import Bernoulli, MultiClass
+
+    # MultiClass robust-max via _prob_is_largest
+    mc = MultiClass.make(4)
+    Y = jnp.asarray([[1], [2]])
+    Fmu = jnp.asarray(np.random.RandomState(0).randn(2, 4))
+    Fvar0 = jnp.zeros((2, 4))
+
+    def loss_mc(v):
+        return jnp.sum(mc.variational_expectations(Fmu, v, Y))
+
+    assert np.isfinite(float(loss_mc(Fvar0)))
+    g = jax.grad(loss_mc)(Fvar0)
+    assert np.all(np.isfinite(np.asarray(g))), g
+
+    # generic ndiagquad path (Bernoulli)
+    be = Bernoulli.make()
+    Yb = jnp.asarray([[1.0], [0.0]])
+    Fmub = jnp.asarray([[0.3], [-0.2]])
+
+    def loss_be(v):
+        return jnp.sum(be.variational_expectations(Fmub, v, Yb))
+
+    g2 = jax.grad(loss_be)(jnp.zeros((2, 1)))
+    assert np.all(np.isfinite(np.asarray(g2))), g2
