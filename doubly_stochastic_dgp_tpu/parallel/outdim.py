@@ -40,7 +40,7 @@ from ..ops.linalg import reparameterize
 from ..utils.modules import static_field
 
 __all__ = ["outdim_specs", "outdim_shard", "outdim_elbo",
-           "make_outdim_train_step"]
+           "make_outdim_train_step", "elbo_2d", "make_2d_train_step"]
 
 
 class ShardedIdentity(MeanFunction):
@@ -171,6 +171,81 @@ def outdim_elbo(model, X, Y, key, mesh: Mesh, axis: str = "dim",
         return jax.lax.psum(local * scale - KL_local, axis)
 
     return run(model, X, Y, key, zs)
+
+
+def elbo_2d(model, X, Y, key, mesh: Mesh, data_axis: str = "data",
+            dim_axis: str = "dim", batch_size: Optional[int] = None,
+            zs=None):
+    """ELBO over a 2-D mesh: the minibatch rows shard over
+    ``data_axis`` (data parallelism, psum'd likelihood) AND every
+    layer's latent dims shard over ``dim_axis`` (model parallelism,
+    per-layer all_gather) — the composed dp x tp layout.  The KL is
+    summed over the dim axis and counted once per data replica."""
+    assert isinstance(model.likelihood, Gaussian), \
+        "output-dim sharding requires a factorizing (Gaussian) likelihood"
+    n_dim = mesh.shape[dim_axis]
+    B = batch_size or X.shape[0]
+    specs = outdim_specs(model, dim_axis)
+    zs_specs = (None if zs is None
+                else [P(None, None, dim_axis) for _ in zs])
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(specs, P(data_axis), P(data_axis, dim_axis), P(),
+                       zs_specs),
+             out_specs=P())
+    def run(model, X_l, Y_l, key, zs_l):
+        m = _localize(model, n_dim, dim_axis)
+        S = m.num_samples
+        ddev = jax.lax.axis_index(dim_axis)
+        bdev = jax.lax.axis_index(data_axis)
+        F = jnp.tile(X_l[None, :, :], (S, 1, 1))
+        keys = (jax.random.split(jax.random.fold_in(key, bdev),
+                                 len(m.layers))
+                if key is not None else [None] * len(m.layers))
+        for li, layer in enumerate(m.layers):
+            mean, var = layer.conditional_SND(F)       # local dims
+            if zs_l is not None:
+                z = jnp.broadcast_to(zs_l[li], mean.shape)
+            else:
+                z = jax.random.normal(
+                    jax.random.fold_in(keys[li], ddev), mean.shape,
+                    dtype=mean.dtype)
+            F_local = reparameterize(mean, var, z, jitter=layer.jitter)
+            if li < len(m.layers) - 1:
+                F = jax.lax.all_gather(F_local, dim_axis, axis=2,
+                                       tiled=True)
+        ve = m.likelihood.variational_expectations(mean, var, Y_l)
+        # likelihood terms: partial over BOTH rows and dims
+        like = jax.lax.psum(
+            jax.lax.psum(jnp.sum(jnp.mean(ve, axis=0)), dim_axis),
+            data_axis)
+        # KL: partial over dims only; replicated across data replicas
+        KL = jax.lax.psum(
+            sum((l.KL() for l in m.layers),
+                jnp.zeros((), dtype=like.dtype)), dim_axis)
+        scale = jnp.asarray(m.num_data, dtype=like.dtype) / B
+        return like * scale - KL
+
+    return run(model, X, Y, key, zs)
+
+
+def make_2d_train_step(tx: optax.GradientTransformation, mesh: Mesh,
+                       data_axis: str = "data", dim_axis: str = "dim",
+                       batch_size: Optional[int] = None):
+    """Jitted train step over the composed (data x dim) mesh."""
+
+    def loss_fn(model, X, Y, key):
+        return -elbo_2d(model, X, Y, key, mesh, data_axis=data_axis,
+                        dim_axis=dim_axis, batch_size=batch_size)
+
+    @jax.jit
+    def step(model, opt_state, X, Y, key):
+        loss, grads = jax.value_and_grad(loss_fn)(model, X, Y, key)
+        updates, opt_state = tx.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, loss
+
+    return step
 
 
 def make_outdim_train_step(tx: optax.GradientTransformation, mesh: Mesh,
