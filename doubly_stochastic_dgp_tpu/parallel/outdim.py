@@ -33,8 +33,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from ..models.mean_functions import (Constant, Identity, Linear,
-                                     MeanFunction, Zero)
+from ..models.mean_functions import Identity, MeanFunction, Zero
 from ..ops.likelihoods import Gaussian
 from ..ops.linalg import reparameterize
 from ..utils.modules import static_field
