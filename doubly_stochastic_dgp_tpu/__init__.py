@@ -28,6 +28,7 @@ from .models.mean_functions import Constant as ConstantMean
 from .models.mean_functions import Identity, Linear, Zero
 from .models.single_layer import GPR, GPRFITC, SGPR, SVGP
 from .models.zoo import DGPCollapsed, DGPHeinonen, DGPHeteroscedastic
+from .models.damianou import DGPDamianou
 from .utils.modules import (Module, Param, log_prior, trainable_mask,
                             with_config)
 

@@ -1,1 +1,2 @@
-from . import dgp, initializations, layers, mean_functions, single_layer, zoo
+from . import (damianou, dgp, initializations, layers, mean_functions,
+               single_layer, zoo)

@@ -569,12 +569,15 @@ class SGPRLayer(CollapsedLayer):
             c = tri_solve(LB, A @ self._Y, lower=True, mode=mode) / sigma
             return dict(L=L, A=A, AAT=AAT, LB=LB, c=c, psi0=psi0)
 
-    def build_likelihood(self):
+    def build_likelihood(self, cm=None):
+        """Collapsed bound.  ``cm`` lets callers that also need the
+        factorization pieces (e.g. DGPDamianou's random-output
+        corrections) pass a precomputed ``_common()`` result."""
         variance = self._lik_variance
         Y = self._Y
         num_data = jnp.asarray(Y.shape[0], dtype=Y.dtype)
         output_dim = jnp.asarray(Y.shape[1], dtype=Y.dtype)
-        cm = self._common()
+        cm = self._common() if cm is None else cm
         LB, c, AAT = cm["LB"], cm["c"], cm["AAT"]
         if self._X_var is None:
             err = cm["err"]
