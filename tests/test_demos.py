@@ -27,7 +27,10 @@ def _run(args, timeout=480):  # generous: xdist runs these under heavy
     ["demos/natural_gradients.py", "--iterations", "20"],
     ["demos/mnist.py", "--synthetic", "--iterations", "5",
      "--minibatch", "128"],
-], ids=["step_function", "priors", "natural_gradients", "mnist"])
+    ["demos/damianou.py", "--n", "120", "--iterations", "15",
+     "--inducing", "12"],
+], ids=["step_function", "priors", "natural_gradients", "mnist",
+        "damianou"])
 def test_demo_runs(args):
     out = _run(args)
     assert "Traceback" not in out
