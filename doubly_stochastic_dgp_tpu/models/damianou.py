@@ -147,8 +147,12 @@ class DGPDamianou(DGPBase):
                 # variance corrections below survive beyond g(mean).
                 s = self.h_var[l].value                       # (N, d)
                 var_l = self.noise[l].value
-                G = tri_solve(cm["LB"], cm["A"], lower=True,
-                              mode=layer.solve_mode) / jnp.sqrt(var_l)
+                # highest matmul precision for the same reason as
+                # SGPRLayer._common (f64 reference; bf16-class default
+                # corrupts the small-matrix algebra on TPU)
+                with jax.default_matmul_precision("highest"):
+                    G = tri_solve(cm["LB"], cm["A"], lower=True,
+                                  mode=layer.solve_mode) / jnp.sqrt(var_l)
                 diagGtG = jnp.sum(G ** 2, axis=0)             # (N,)
                 g = g - 0.5 * jnp.sum(s) / var_l \
                       + 0.5 * jnp.sum(diagGtG[:, None] * s)

@@ -539,7 +539,18 @@ class SGPRLayer(CollapsedLayer):
     def _common(self):
         """Returns (A, B-chol LB, c, L) for the certain-input branch, or the
         psi-statistics versions when X_var is given; mirrors reference
-        layers.py:371-450."""
+        layers.py:371-450.
+
+        The whole computation runs at HIGHEST matmul precision: the
+        reference relies on float64 throughout, and on TPU the
+        bf16-class default leaves B = I + L^{-1}psi2 L^{-T}/sigma^2
+        indefinite at scale (errors O(10) on O(1e3) entries — measured:
+        min eigenvalue -137 on a 1500-point problem), NaN-ing the
+        Cholesky.  These are (M, M)/(M, N) ops — small next to a DGP's
+        batch work — so correctness wins.  LB additionally uses the
+        0.0-first jitter ladder (B >= I by construction, so any failure
+        is floating-point garbage; the f64 path stays bitwise exact)."""
+        from ..ops.linalg import safe_cholesky_ladder
         from ..ops.psi_stats import psi_statistics
 
         Z = self.Z.value
@@ -547,27 +558,37 @@ class SGPRLayer(CollapsedLayer):
         variance = self._lik_variance
         sigma = jnp.sqrt(variance)
         mode = self.solve_mode
-        L = safe_cholesky(self.kern.K(Z), self.jitter)
-        if self._X_var is None:
-            err = self._Y - self.mean_function(self._X_mean)
-            Kuf = self.kern.K(Z, self._X_mean)
-            A = tri_solve(L, Kuf, lower=True, mode=mode) / sigma
-            AAT = A @ A.T
-            B = AAT + jnp.eye(M, dtype=A.dtype)
-            LB = jnp.linalg.cholesky(B)
-            Aerr = A @ err
-            c = tri_solve(LB, Aerr, lower=True, mode=mode) / sigma
-            return dict(L=L, A=A, AAT=AAT, LB=LB, c=c, err=err)
-        else:
-            psi0, psi1, psi2s = psi_statistics(self.kern, self._X_mean,
-                                               self._X_var, Z)
-            A = tri_solve(L, psi1.T, lower=True, mode=mode) / sigma
-            tmp = tri_solve(L, psi2s, lower=True, mode=mode)
-            AAT = tri_solve(L, tmp.T, lower=True, mode=mode) / variance
-            B = AAT + jnp.eye(M, dtype=A.dtype)
-            LB = jnp.linalg.cholesky(B)
-            c = tri_solve(LB, A @ self._Y, lower=True, mode=mode) / sigma
-            return dict(L=L, A=A, AAT=AAT, LB=LB, c=c, psi0=psi0)
+        with jax.default_matmul_precision("highest"):
+            L = safe_cholesky(self.kern.K(Z), self.jitter)
+            if self._X_var is None:
+                err = self._Y - self.mean_function(self._X_mean)
+                Kuf = self.kern.K(Z, self._X_mean)
+                A = tri_solve(L, Kuf, lower=True, mode=mode) / sigma
+                AAT = A @ A.T
+                B = AAT + jnp.eye(M, dtype=A.dtype)
+                LB = safe_cholesky_ladder(B)
+                Aerr = A @ err
+                c = tri_solve(LB, Aerr, lower=True, mode=mode) / sigma
+                return dict(L=L, A=A, AAT=AAT, LB=LB, c=c, err=err)
+            else:
+                psi0, psi1, psi2s = psi_statistics(self.kern, self._X_mean,
+                                                   self._X_var, Z)
+                A = tri_solve(L, psi1.T, lower=True, mode=mode) / sigma
+                # AAT = L^{-1} psi2 L^{-T} / sigma^2 as an explicit Gram:
+                # factor psi2 = R R^T first, then AAT = (L^{-1}R)(L^{-1}R)^T
+                # — PSD by construction, so B = AAT + I >= I numerically
+                # and its Cholesky cannot fail.  (The direct two-solve
+                # form accumulates O(||AAT||*eps) asymmetric error, which
+                # at the 1/sigma^2-amplified scale reached eigenvalues
+                # ~-300 in float32 on TPU and NaN'd the factorization.)
+                R = safe_cholesky_ladder(psi2s)
+                tmp = tri_solve(L, R, lower=True, mode=mode)
+                AAT = (tmp @ tmp.T) / variance
+                B = AAT + jnp.eye(M, dtype=A.dtype)
+                LB = safe_cholesky_ladder(B)
+                c = tri_solve(LB, A @ self._Y, lower=True,
+                              mode=mode) / sigma
+                return dict(L=L, A=A, AAT=AAT, LB=LB, c=c, psi0=psi0)
 
     def build_likelihood(self, cm=None):
         """Collapsed bound.  ``cm`` lets callers that also need the

@@ -24,6 +24,7 @@ from ..config import default_jitter
 __all__ = [
     "add_jitter",
     "safe_cholesky",
+    "safe_cholesky_ladder",
     "tri_solve",
     "inv_lower",
     "reparameterize",
@@ -74,6 +75,38 @@ def safe_cholesky(K, jitter=None):
     sel = jnp.where(ok(j0), j0,
                     jnp.where(ok(j0 * 1e2), j0 * 1e2, j0 * 1e4))
     sel = jax.lax.stop_gradient(sel)[..., None, None]
+    return jnp.linalg.cholesky(K + sel * I)
+
+
+def safe_cholesky_ladder(K, jitters=(0.0, 1e-7, 1e-5, 1e-3)):
+    """Grad-safe Cholesky with a *relative* jitter ladder.
+
+    For matrices that are PSD *by construction* (e.g. the Titsias
+    B = I + AA^T) where any failure is pure floating-point garbage: the
+    first rung is 0.0, so whenever the plain factorization succeeds the
+    result is bitwise identical to ``jnp.linalg.cholesky(K)`` — no bias
+    in the float64 parity paths.  Nonzero rungs are scaled by the mean
+    diagonal of K, because the garbage scales with the matrix (measured
+    on TPU: B entries grow like 1/sigma^2 as the likelihood variance is
+    learned small, and f32 rounding garbage grows with them — an
+    absolute ladder tops out).  Rung selection uses stop-gradient probe
+    factorizations and the live K is factorized exactly once (same
+    grad-safety argument as :func:`safe_cholesky`)."""
+    M = K.shape[-1]
+    I = jnp.eye(M, dtype=K.dtype)
+    Kp = jax.lax.stop_gradient(K)
+    scale = jnp.mean(jnp.diagonal(Kp, axis1=-2, axis2=-1),
+                     axis=-1)[..., None, None]                  # (..., 1, 1)
+
+    def ok(j):
+        Lp = jnp.linalg.cholesky(Kp + (j * scale) * I)
+        return jnp.logical_not(jnp.any(jnp.isnan(Lp), axis=(-2, -1)))
+
+    sel = jnp.full(K.shape[:-2] + (1, 1), jitters[-1], dtype=K.dtype)
+    for j in reversed(jitters[:-1]):
+        sel = jnp.where(ok(j)[..., None, None],
+                        jnp.asarray(j, dtype=K.dtype), sel)
+    sel = jax.lax.stop_gradient(sel * scale)
     return jnp.linalg.cholesky(K + sel * I)
 
 

@@ -17,11 +17,18 @@ onto the MXU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .kernels import RBF, Sum, White
 
 __all__ = ["psi_statistics"]
+
+
+# Rows of the psi2 data-sum processed per block: peak memory for the
+# (block, M, M) intermediates stays ~block*M^2 floats instead of N*M^2
+# (at M=100, f32, the default is ~330 MB of transient vs unbounded).
+PSI2_BLOCK_ROWS = 8192
 
 
 def _rbf_cross_psi2(ka: RBF, kb: RBF, mu, S, Z):
@@ -36,32 +43,58 @@ def _rbf_cross_psi2(ka: RBF, kb: RBF, mu, S, Z):
     (Titsias & Lawrence 2010); with a != b it is the Sum-kernel cross
     term the reference gets from gpflow.expectations at
     /root/reference/doubly_stochastic_dgp/layers.py:417.
+
+    The data sum is accumulated in row blocks (lax.scan) so memory is
+    O(PSI2_BLOCK_ROWS * M^2) however large N grows.
     """
     va = ka.variance.value
     vb = kb.variance.value
     a = ka.lengthscales.value ** 2 + jnp.zeros_like(mu[0])      # (D,)
     b = kb.lengthscales.value ** 2 + jnp.zeros_like(mu[0])      # (D,)
     h = a * b / (a + b)                                         # (D,)
-    denom = h + S                                               # (N, D)
-    logdet = 0.5 * jnp.sum(jnp.log(h) - jnp.log(denom), axis=-1)  # (N,)
     zz = Z[:, None, :] - Z[None, :, :]                          # (M, M, D)
     log_zz = -0.5 * jnp.sum(zz ** 2 / (a + b), axis=-1)         # (M, M)
     c = (b * Z[:, None, :] + a * Z[None, :, :]) / (a + b)       # (M, M, D)
-    # exp term per (n, m, m'): expand sum_d -(mu_nd - c_mm'd)^2 /
-    # (2 denom_nd) as mu^2 - 2 mu c + c^2, contracting d with einsums —
-    # O(N*M*M) memory instead of materializing (N, M, M, D), and the
-    # contractions land on the MXU.
-    inv = 1.0 / denom                                           # (N, D)
-    t_mu2 = jnp.sum(mu ** 2 * inv, axis=-1)                     # (N,)
-    t_cross = jnp.einsum("nd,abd->nab", mu * inv, c)            # (N, M, M)
-    t_c2 = jnp.einsum("nd,abd->nab", inv, c ** 2)               # (N, M, M)
-    # mathematically <= 0; clamp float32 cancellation noise so exp can't
-    # overflow
-    quad = jnp.minimum(
-        -0.5 * (t_mu2[:, None, None] - 2.0 * t_cross + t_c2), 0.0)
-    psi2_n = va * vb * jnp.exp(
-        logdet[:, None, None] + log_zz[None, :, :] + quad)      # (N, M, M)
-    return jnp.sum(psi2_n, axis=0)                              # (M, M)
+
+    def block_sum(mu_b, S_b, w_b):
+        """Sum over the rows of one (block, D) slab; w_b masks padding."""
+        denom = h + S_b                                         # (B, D)
+        logdet = 0.5 * jnp.sum(jnp.log(h) - jnp.log(denom), axis=-1)
+        # exp term per (n, m, m'): expand sum_d -(mu_nd - c_mm'd)^2 /
+        # (2 denom_nd) as mu^2 - 2 mu c + c^2, contracting d with
+        # einsums — O(B*M*M) memory instead of materializing
+        # (B, M, M, D), and the contractions land on the MXU.
+        inv = 1.0 / denom                                       # (B, D)
+        t_mu2 = jnp.sum(mu_b ** 2 * inv, axis=-1)               # (B,)
+        t_cross = jnp.einsum("nd,abd->nab", mu_b * inv, c)      # (B, M, M)
+        t_c2 = jnp.einsum("nd,abd->nab", inv, c ** 2)           # (B, M, M)
+        # mathematically <= 0; clamp float32 cancellation noise so exp
+        # can't overflow
+        quad = jnp.minimum(
+            -0.5 * (t_mu2[:, None, None] - 2.0 * t_cross + t_c2), 0.0)
+        psi2_n = va * vb * jnp.exp(
+            logdet[:, None, None] + log_zz[None, :, :] + quad)  # (B, M, M)
+        return jnp.einsum("n,nab->ab", w_b, psi2_n)             # (M, M)
+
+    N = mu.shape[0]
+    block = PSI2_BLOCK_ROWS
+    if N <= block:
+        return block_sum(mu, S, jnp.ones((N,), dtype=mu.dtype))
+    n_blocks = -(-N // block)
+    pad = n_blocks * block - N
+    w = jnp.pad(jnp.ones((N,), dtype=mu.dtype), (0, pad))
+    mu_p = jnp.pad(mu, ((0, pad), (0, 0)))
+    S_p = jnp.pad(S, ((0, pad), (0, 0)), constant_values=1.0)
+    args = (mu_p.reshape(n_blocks, block, -1),
+            S_p.reshape(n_blocks, block, -1),
+            w.reshape(n_blocks, block))
+
+    def body(acc, xs):
+        return acc + block_sum(*xs), None
+
+    M = Z.shape[0]
+    out, _ = jax.lax.scan(body, jnp.zeros((M, M), dtype=mu.dtype), args)
+    return out
 
 
 def _rbf_psi(kern: RBF, mu, S, Z):

@@ -115,3 +115,39 @@ def test_tri_solve_inverse_mode_matches():
                     trans=True, mode="inverse")
     assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-8, atol=1e-8)
     assert_allclose(np.asarray(x1t), np.asarray(x2t), rtol=1e-8, atol=1e-8)
+
+
+def test_safe_cholesky_ladder_zero_rung_is_exact():
+    """When the plain factorization succeeds, the 0.0 first rung returns
+    bitwise the same factor as jnp.linalg.cholesky."""
+    from doubly_stochastic_dgp_tpu.ops.linalg import safe_cholesky_ladder
+
+    rng = np.random.RandomState(0)
+    A = rng.randn(6, 6)
+    K = jnp.asarray(A @ A.T + 6 * np.eye(6))
+    np.testing.assert_array_equal(np.asarray(safe_cholesky_ladder(K)),
+                                  np.asarray(jnp.linalg.cholesky(K)))
+
+
+def test_safe_cholesky_ladder_escalates_with_finite_grads():
+    """A slightly indefinite matrix (numerical garbage on a
+    PSD-by-construction input, the TPU bf16 failure class): the ladder
+    picks a positive rung, the factor is finite, and gradients through
+    a downstream scalar stay finite (grad-safe probe selection)."""
+    from doubly_stochastic_dgp_tpu.ops.linalg import safe_cholesky_ladder
+
+    rng = np.random.RandomState(1)
+    A = rng.randn(5, 5)
+    K0 = A @ A.T + 5 * np.eye(5)
+    w, V = np.linalg.eigh(K0)
+    w[0] = -1e-5                     # small negative eigenvalue
+    K = jnp.asarray(V @ np.diag(w) @ V.T)
+    assert np.any(np.isnan(np.asarray(jnp.linalg.cholesky(K))))
+
+    def f(K):
+        L = safe_cholesky_ladder(K, jitters=(0.0, 1e-4, 1e-2))
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(L)
+
+    v, g = jax.value_and_grad(f)(K)
+    assert np.isfinite(float(v))
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -120,3 +120,27 @@ def test_sum_with_white():
     assert_allclose(np.asarray(psi0), np.asarray(p0r) + 0.01, rtol=1e-12)
     assert_allclose(np.asarray(psi1), np.asarray(p1r), rtol=1e-12)
     assert_allclose(np.asarray(psi2), np.asarray(p2r), rtol=1e-12)
+
+
+def test_psi2_blocked_equals_unblocked():
+    """The lax.scan row-blocked psi2 accumulation must match the
+    single-slab path exactly (block size forced below N)."""
+    import doubly_stochastic_dgp_tpu.ops.psi_stats as ps
+
+    rng = np.random.RandomState(7)
+    N, D, M = 37, 3, 5
+    mu = jnp.asarray(rng.randn(N, D))
+    S = jnp.asarray(rng.rand(N, D) * 0.3 + 0.05)
+    Z = jnp.asarray(rng.randn(M, D))
+    kern = RBF.make(D, variance=1.3, lengthscales=rng.rand(D) + 0.5)
+    p0a, p1a, p2a = ps.psi_statistics(kern, mu, S, Z)
+    old = ps.PSI2_BLOCK_ROWS
+    try:
+        ps.PSI2_BLOCK_ROWS = 8            # forces 5 blocks + padding
+        p0b, p1b, p2b = ps.psi_statistics(kern, mu, S, Z)
+    finally:
+        ps.PSI2_BLOCK_ROWS = old
+    np.testing.assert_allclose(np.asarray(p2a), np.asarray(p2b),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p0a), np.asarray(p0b))
+    np.testing.assert_allclose(np.asarray(p1a), np.asarray(p1b))
