@@ -13,6 +13,15 @@ bound is stochastic but minibatchable.  On the compositional synthetic
 both deep models should beat the single-layer baseline on held-out
 log-likelihood.
 
+float32-on-TPU note: the collapsed bound pairs +-||Y||^2/(2 sigma^2)
+terms whose f32 significance runs out once the learned likelihood
+variance is small (cond(B) ~ 1/sigma^2 crosses 1/eps_f32) — the
+reference family computes these bounds in float64 for the same reason.
+The TPU path here is NaN-proof (variance floor, PSD Gram assembly,
+jitter ladders) and tracks the float64 trajectory through the early/mid
+phase (~1000 iterations at these shapes); run --float64 on CPU for
+fully-converged numbers.
+
 Usage:
   python demos/damianou.py --n 1500 --iterations 1500
 """

@@ -146,7 +146,10 @@ class DGPDamianou(DGPBase):
                 # bound is quadratic in its targets, so only the
                 # variance corrections below survive beyond g(mean).
                 s = self.h_var[l].value                       # (N, d)
-                var_l = self.noise[l].value
+                # same f32 floor as the bound itself (SGPRLayer
+                # _bound_variance) so the correction and g use one
+                # variance consistently
+                var_l = lay._bound_variance()
                 # highest matmul precision for the same reason as
                 # SGPRLayer._common (f64 reference; bf16-class default
                 # corrupts the small-matrix algebra on TPU)

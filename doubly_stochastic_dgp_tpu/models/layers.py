@@ -535,6 +535,23 @@ class SGPRLayer(CollapsedLayer):
     def num_outputs(self):
         return self.num_outputs_
 
+    # In float32 the collapsed bound's +-||Y||^2/(2 sigma^2)-scale term
+    # pairs lose all significance once sigma^2 drops below ~1e-4 (the
+    # B-solve error grows like cond(B)*eps ~ eps/sigma^2, and the
+    # resulting positive bias is then *chased* by the optimizer —
+    # measured on TPU: the bound ran away to +2e7 with the variance
+    # pinned at the 1e-6 positivity floor).  The reference computes this
+    # bound in float64 where the pairing holds to ~1e-10; the float32
+    # substitute clamps the variance used *inside the bound*, which also
+    # zeroes the runaway gradient direction at the floor.
+    F32_VARIANCE_FLOOR = 1e-4
+
+    def _bound_variance(self):
+        v = self._lik_variance
+        if jnp.result_type(v) == jnp.float32:
+            return jnp.maximum(v, self.F32_VARIANCE_FLOOR)
+        return v
+
     # -- shared pieces -------------------------------------------------------
     def _common(self):
         """Returns (A, B-chol LB, c, L) for the certain-input branch, or the
@@ -555,7 +572,7 @@ class SGPRLayer(CollapsedLayer):
 
         Z = self.Z.value
         M = Z.shape[0]
-        variance = self._lik_variance
+        variance = self._bound_variance()
         sigma = jnp.sqrt(variance)
         mode = self.solve_mode
         with jax.default_matmul_precision("highest"):
@@ -594,7 +611,7 @@ class SGPRLayer(CollapsedLayer):
         """Collapsed bound.  ``cm`` lets callers that also need the
         factorization pieces (e.g. DGPDamianou's random-output
         corrections) pass a precomputed ``_common()`` result."""
-        variance = self._lik_variance
+        variance = self._bound_variance()
         Y = self._Y
         num_data = jnp.asarray(Y.shape[0], dtype=Y.dtype)
         output_dim = jnp.asarray(Y.shape[1], dtype=Y.dtype)

@@ -1,0 +1,198 @@
+"""Data-parallel training for the fully-collapsed Damianou-Lawrence DGP.
+
+The Damianou bound (models/damianou.py) looks "full batch" — every row
+owns variational parameters q(H_l)[n] — but it decomposes exactly into
+per-row sums: the psi statistics (psi0, psi1^T targets, psi2), the
+certain-branch feature sums (Kdiag, Kuf Kuf^T, Kuf err), the quadratic
+target sums, and the per-row correction/entropy terms are all data sums.
+So the N axis shards over the mesh — *including the per-row h_mean /
+h_var variational state, which lives and updates entirely on its own
+device* — and the only cross-device traffic is a psum of (M, M)/(M, D)
+moment blocks per layer (a few hundred KB over ICI), after which every
+device assembles the identical small collapsed algebra.
+
+Three stages inside one shard_map (differentiated through — the psum
+transposes are exact, so gradients equal the single-device ones):
+  1. per-shard moment sums over local rows,
+  2. psum -> replicated L/R/LB/c assembly (Gram-form AAT, as in
+     SGPRLayer._common),
+  3. per-shard correction/entropy sums -> scalar psum.
+
+This gives the reference model family something it never had: the
+collapsed models (the SGPR-collapsed DGP is the L=1 special case)
+training data-parallel across chips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.linalg import safe_cholesky, safe_cholesky_ladder, tri_solve
+
+__all__ = ["damianou_shard", "dp_damianou_elbo",
+           "make_dp_damianou_train_step"]
+
+_ROW_LEAVES = ("h_mean", "h_var", "X_data", "Y_data")
+
+
+def _path_names(path):
+    out = []
+    for p in path:
+        n = getattr(p, "name", None)
+        if n is None:
+            n = getattr(p, "idx", getattr(p, "key", None))
+        out.append(str(n))
+    return out
+
+
+def damianou_specs(model, axis: str = "data"):
+    """PartitionSpec pytree: row-indexed leaves (training rows and their
+    q(H) variational state) shard over ``axis``; everything else
+    (kernels, Z, noise, likelihood) is replicated."""
+
+    def spec_for(path, leaf):
+        names = _path_names(path)
+        if any(r in names for r in _ROW_LEAVES) and jnp.ndim(leaf) >= 1:
+            return P(axis, *([None] * (jnp.ndim(leaf) - 1)))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, model)
+
+
+def damianou_shard(model, mesh: Mesh, axis: str = "data"):
+    """Place the model: rows + q(H) state sharded, the rest replicated."""
+    specs = damianou_specs(model, axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        model, specs)
+
+
+def _layer_moments(layer, mu, sv, T):
+    """Stage 1: local data sums for one layer.
+
+    Returns (phi (M, n_l) features, P2 (M, M), P1T (M, D_out),
+    sum_t2 (), sum_phi0 ()) where phi is Kuf (certain inputs) or psi1^T
+    (uncertain), P2 = sum_n phi_n phi_n^T (the psi2 sum when uncertain)
+    and T already has the mean function subtracted when certain."""
+    from ..ops.psi_stats import psi_statistics
+
+    Z = layer.Z.value
+    if sv is None:
+        err = T - layer.mean_function(mu)
+        phi = layer.kern.K(Z, mu)                              # (M, n)
+        P2 = phi @ phi.T
+        P1T = phi @ err
+        sum_t2 = jnp.sum(err ** 2)
+        sum_phi0 = jnp.sum(layer.kern.Kdiag(mu))
+        return phi, P2, P1T, sum_t2, sum_phi0
+    psi0, psi1, psi2s = psi_statistics(layer.kern, mu, sv, Z)
+    return psi1.T, psi2s, psi1.T @ T, jnp.sum(T ** 2), jnp.sum(psi0)
+
+
+def _assemble(layer, P2, P1T, sigma2):
+    """Stage 2 (replicated): the small collapsed algebra.  Returns
+    (L, LB, c, tr_AAT) with AAT in PSD Gram form."""
+    L = safe_cholesky(layer.kern.K(layer.Z.value), layer.jitter)
+    R = safe_cholesky_ladder(P2)
+    tmp = tri_solve(L, R, lower=True, mode=layer.solve_mode)
+    AAT = (tmp @ tmp.T) / sigma2
+    M = P2.shape[0]
+    B = AAT + jnp.eye(M, dtype=P2.dtype)
+    LB = safe_cholesky_ladder(B)
+    half = tri_solve(L, P1T, lower=True, mode=layer.solve_mode)
+    c = tri_solve(LB, half, lower=True, mode=layer.solve_mode) / sigma2
+    return L, LB, c, jnp.trace(AAT)
+
+
+def _layer_bound(N, Do, sigma2, LB, c, sum_t2, sum_phi0, tr_AAT, dtype):
+    """The unified certain/uncertain collapsed bound (matches
+    SGPRLayer.build_likelihood term by term for both branches)."""
+    N = jnp.asarray(N, dtype=dtype)
+    Do = jnp.asarray(Do, dtype=dtype)
+    bound = -0.5 * N * Do * jnp.log(2 * jnp.pi * sigma2)
+    bound -= Do * jnp.sum(jnp.log(jnp.diagonal(LB)))
+    bound += -0.5 * sum_t2 / sigma2
+    bound += 0.5 * jnp.sum(c ** 2)
+    bound += -0.5 * Do * (sum_phi0 / sigma2 - tr_AAT)
+    return bound
+
+
+def dp_damianou_elbo(model, mesh: Mesh, axis: str = "data"):
+    """The Damianou bound over the mesh — exactly equal (up to float
+    reassociation of the psums) to ``model.elbo()`` on one device."""
+    n_dev = mesh.shape[axis]
+    assert model.X_data.shape[0] % n_dev == 0, (
+        f"N={model.X_data.shape[0]} must divide the {n_dev}-device mesh")
+    specs = damianou_specs(model, axis)
+
+    @partial(shard_map, mesh=mesh, in_specs=(specs,), out_specs=P())
+    def _run(m):
+        total = jnp.zeros((), dtype=m.X_data.dtype)
+        L_layers = len(m.layers)
+        for l, layer in enumerate(m.layers):
+            mu, sv, T, var_l = m._layer_data(l)
+            lay = layer.set_data(mu, sv, T, var_l)
+            sigma2 = lay._bound_variance()
+            # highest precision for the small-matrix algebra (same
+            # policy as SGPRLayer._common)
+            with jax.default_matmul_precision("highest"):
+                phi, P2, P1T, sum_t2, sum_phi0 = _layer_moments(
+                    layer, mu, sv, T)
+                # one psum per layer: (M, M) + (M, Do) + 2 scalars
+                P2, P1T, sum_t2, sum_phi0 = jax.lax.psum(
+                    (P2, P1T, sum_t2, sum_phi0), axis)
+                Lc, LB, c, tr_AAT = _assemble(layer, P2, P1T, sigma2)
+                N = mu.shape[0] * n_dev
+                Do = T.shape[1]
+                g = _layer_bound(N, Do, sigma2, LB, c, sum_t2, sum_phi0,
+                                 tr_AAT, mu.dtype)
+                if l < L_layers - 1:
+                    # stage 3: per-row corrections G_n = V phi_n, V =
+                    # LB^{-1} L^{-1} / sigma2 — local rows only, then a
+                    # scalar psum
+                    s = m.h_var[l].value
+                    Vh = tri_solve(Lc, jnp.eye(P2.shape[0],
+                                               dtype=P2.dtype),
+                                   lower=True, mode=layer.solve_mode)
+                    V = tri_solve(LB, Vh, lower=True,
+                                  mode=layer.solve_mode) / sigma2
+                    G = V @ phi                                # (M, n_l)
+                    diagGtG = jnp.sum(G ** 2, axis=0)          # (n_l,)
+                    corr = (-0.5 * jnp.sum(s) / sigma2
+                            + 0.5 * jnp.sum(diagGtG[:, None] * s))
+                    ent = 0.5 * jnp.sum(
+                        jnp.log(2.0 * jnp.pi * jnp.e * s))
+                    g = g + jax.lax.psum(corr + ent, axis)
+            total = total + g
+        return total
+
+    return _run(model)
+
+
+def make_dp_damianou_train_step(tx: optax.GradientTransformation,
+                                mesh: Mesh, axis: str = "data"):
+    """Jitted dp train step for DGPDamianou: grads flow through the
+    shard_map (psum transposes are exact), sharded q(H) leaves update in
+    place on their own devices, replicated hyperparameters see the
+    psum'd gradient."""
+
+    def loss_fn(model):
+        return -dp_damianou_elbo(model, mesh, axis=axis)
+
+    @jax.jit
+    def step(model, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(model)
+        updates, opt_state = tx.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, loss
+
+    return step

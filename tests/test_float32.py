@@ -164,3 +164,32 @@ def test_f32_training_stays_finite_long_lengthscales():
         for i in range(25):
             m, st, loss = step(m, st, jax.random.PRNGKey(i))
         assert np.isfinite(float(loss)), float(loss)
+
+
+def test_collapsed_bound_variance_floor_f32():
+    """In float32 the collapsed bound clamps the likelihood variance at
+    SGPRLayer.F32_VARIANCE_FLOOR (below it the +-||Y||^2/sigma^2 pair is
+    rounding noise and its positive bias is chased by the optimizer —
+    measured on TPU); float64 is exact and unclamped."""
+    from doubly_stochastic_dgp_tpu.models.layers import SGPRLayer
+    from doubly_stochastic_dgp_tpu.models.mean_functions import Zero
+    from doubly_stochastic_dgp_tpu.ops.kernels import RBF
+
+    rng = np.random.RandomState(0)
+    X = rng.rand(12, 2)
+    Y = rng.randn(12, 1)
+    Z = X[:5].copy()
+
+    def bound(dtype, var):
+        lay = SGPRLayer.make(
+            RBF.make(2), Z.astype(dtype), 1, Zero(output_dim=1))
+        lay = lay.set_data(jnp.asarray(X, dtype), None,
+                           jnp.asarray(Y, dtype), jnp.asarray(var, dtype))
+        return float(lay.build_likelihood())
+
+    floor = SGPRLayer.F32_VARIANCE_FLOOR
+    # f32: anything below the floor gives the floored bound
+    assert bound("float32", 1e-6) == bound("float32", floor)
+    assert bound("float32", 4e-4) != bound("float32", floor)
+    # f64: no clamp — the bound keeps moving below the floor
+    assert abs(bound("float64", 1e-6) - bound("float64", floor)) > 1.0
