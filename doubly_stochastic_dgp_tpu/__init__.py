@@ -14,8 +14,10 @@ from . import config
 from .config import (default_float, default_jitter, set_default_float,
                      set_default_jitter, temp_config)
 from .ops import kernels, likelihoods, linalg, quadrature
-from .ops.kernels import (RBF, Constant, Kernel, Linear as LinearKernel,
-                          Matern12, Matern32, Matern52, Product, Sum, White)
+from .ops.kernels import (RBF, ArcCosine, Constant, Cosine, Kernel,
+                          Linear as LinearKernel, Matern12, Matern32,
+                          Matern52, Periodic, Product, RationalQuadratic,
+                          Sum, White)
 from .ops.likelihoods import (Bernoulli, Beta, Exponential, Gamma, Gaussian,
                               Likelihood, MultiClass, Ordinal, Poisson,
                               StudentT)

@@ -26,6 +26,7 @@ from ..utils.modules import Module, Param, static_field
 
 __all__ = [
     "Kernel", "Stationary", "RBF", "Matern12", "Matern32", "Matern52",
+    "RationalQuadratic", "Cosine", "Periodic", "ArcCosine",
     "White", "Constant", "Linear", "Sum", "Product",
 ]
 
@@ -149,6 +150,130 @@ class Matern52(Stationary):
         r = _safe_r(r2)
         s5 = np.sqrt(5.0)
         return (1.0 + s5 * r + 5.0 / 3.0 * r2) * jnp.exp(-s5 * r)
+
+
+class RationalQuadratic(Stationary):
+    """k(r^2) = variance * (1 + r^2 / (2 alpha))^(-alpha) — a scale
+    mixture of RBFs (GPflow 1.x RationalQuadratic; part of the inherited
+    kernel surface, SURVEY §2.3)."""
+
+    alpha: Param = None
+
+    @classmethod
+    def make(cls, input_dim, variance=1.0, lengthscales=1.0, alpha=1.0,
+             ard=True, trainable=True):
+        base = Stationary.make.__func__(cls, input_dim, variance,
+                                        lengthscales, ard, trainable)
+        return base.replace(
+            alpha=Param.positive(alpha, trainable=trainable))
+
+    def K(self, X, X2=None):
+        r2 = self.scaled_square_dist(X, X2)
+        a = self.alpha.value
+        return self.variance.value * (1.0 + r2 / (2.0 * a)) ** (-a)
+
+
+class Cosine(Stationary):
+    """k(r) = variance * cos(r) with the scaled Euclidean distance
+    (GPflow 1.x Cosine)."""
+
+    @staticmethod
+    def _shape_fn(r2):
+        return jnp.cos(_safe_r(r2))
+
+
+class Periodic(Kernel):
+    """Exp-sine-squared periodic kernel (GPflow 1.x Periodic):
+    k(x, z) = variance * exp(-0.5 sum_d sin^2(pi (x_d - z_d) / period)
+    / ls_d^2).  Pairwise differences are (N, M, D) — fine at DGP shapes;
+    there is no matmul shortcut through the sine."""
+
+    variance: Param = None
+    lengthscales: Param = None
+    period: Param = None
+    input_dim: int = static_field(default=1)
+
+    @classmethod
+    def make(cls, input_dim, variance=1.0, lengthscales=1.0, period=1.0,
+             ard=True, trainable=True):
+        ls = jnp.asarray(lengthscales, dtype=default_float())
+        if ard and ls.ndim == 0:
+            ls = jnp.full((input_dim,), ls, dtype=default_float())
+        return cls(variance=Param.positive(variance, trainable=trainable),
+                   lengthscales=Param.positive(ls, trainable=trainable),
+                   period=Param.positive(period, trainable=trainable),
+                   input_dim=input_dim)
+
+    def K(self, X, X2=None):
+        X2 = X if X2 is None else X2
+        d = X[:, None, :] - X2[None, :, :]                  # (N, M, D)
+        s = jnp.sin(jnp.pi * d / self.period.value) / self.lengthscales.value
+        return self.variance.value * jnp.exp(
+            -0.5 * jnp.sum(s ** 2, axis=-1))
+
+    def Kdiag(self, X):
+        return jnp.full((X.shape[0],), 1.0, dtype=X.dtype) * self.variance.value
+
+
+class ArcCosine(Kernel):
+    """Cho & Saul (2009) arc-cosine kernel of order 0, 1 or 2 — the
+    "infinite-width network" kernel from GPflow 1.x, with ARD weight
+    variances and a bias variance."""
+
+    variance: Param = None
+    weight_variances: Param = None
+    bias_variance: Param = None
+    order: int = static_field(default=1)
+    input_dim: int = static_field(default=1)
+
+    @classmethod
+    def make(cls, input_dim, order=1, variance=1.0, weight_variances=1.0,
+             bias_variance=1.0, ard=True, trainable=True):
+        assert order in (0, 1, 2), "arc-cosine order must be 0, 1 or 2"
+        w = jnp.asarray(weight_variances, dtype=default_float())
+        if ard and w.ndim == 0:
+            w = jnp.full((input_dim,), w, dtype=default_float())
+        return cls(variance=Param.positive(variance, trainable=trainable),
+                   weight_variances=Param.positive(w, trainable=trainable),
+                   bias_variance=Param.positive(bias_variance,
+                                                trainable=trainable),
+                   order=order, input_dim=input_dim)
+
+    def _weighted_product(self, X, X2=None):
+        w = self.weight_variances.value
+        b = self.bias_variance.value
+        if X2 is None:
+            return b + (X * w) @ X.T
+        return b + (X * w) @ X2.T
+
+    def _J(self, theta):
+        if self.order == 0:
+            return jnp.pi - theta
+        if self.order == 1:
+            return jnp.sin(theta) + (jnp.pi - theta) * jnp.cos(theta)
+        return 3.0 * jnp.sin(theta) * jnp.cos(theta) \
+            + (jnp.pi - theta) * (1.0 + 2.0 * jnp.cos(theta) ** 2)
+
+    def K(self, X, X2=None):
+        w = self.weight_variances.value
+        b = self.bias_variance.value
+        dX = b + jnp.sum(X ** 2 * w, axis=-1)
+        num = self._weighted_product(X, X2)
+        if X2 is None:
+            dX2 = dX
+        else:
+            dX2 = b + jnp.sum(X2 ** 2 * w, axis=-1)
+        denom = jnp.sqrt(dX[:, None] * dX2[None, :])
+        cos_t = jnp.clip(num / denom, -1.0, 1.0)
+        theta = jnp.arccos(cos_t)
+        return (self.variance.value * (1.0 / jnp.pi)
+                * self._J(theta) * denom ** self.order)
+
+    def Kdiag(self, X):
+        d = self.bias_variance.value + jnp.sum(
+            X ** 2 * self.weight_variances.value, axis=-1)
+        return self.variance.value / jnp.pi * self._J(
+            jnp.zeros_like(d)) * d ** self.order
 
 
 class White(Kernel):

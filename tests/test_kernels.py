@@ -106,3 +106,96 @@ def test_kernel_gradients_flow():
     k52 = Matern52.make(D)
     g2 = jax.grad(lambda kk: jnp.sum(kk.K(Xc)))(k52)
     assert np.all(np.isfinite(np.asarray(g2.lengthscales.unconstrained)))
+
+
+class TestExtendedKernels:
+    """RationalQuadratic / Cosine / Periodic / ArcCosine vs independent
+    numpy formulas (the GPflow-1.x tail of the inherited surface)."""
+
+    def setup_method(self):
+        rng = np.random.RandomState(3)
+        self.X = rng.randn(7, 3)
+        self.Z = rng.randn(5, 3)
+        self.ls = rng.rand(3) + 0.5
+
+    def test_rational_quadratic(self):
+        from doubly_stochastic_dgp_tpu.ops.kernels import RationalQuadratic
+        k = RationalQuadratic.make(3, variance=1.7, lengthscales=self.ls,
+                                   alpha=0.8)
+        d = (self.X[:, None, :] - self.Z[None, :, :]) / self.ls
+        r2 = np.sum(d ** 2, -1)
+        expect = 1.7 * (1 + r2 / (2 * 0.8)) ** (-0.8)
+        assert_allclose(np.asarray(k.K(self.X, self.Z)), expect,
+                        rtol=1e-10)
+        assert_allclose(np.asarray(k.Kdiag(self.X)), np.full(7, 1.7))
+
+    def test_cosine(self):
+        from doubly_stochastic_dgp_tpu.ops.kernels import Cosine
+        k = Cosine.make(3, variance=0.9, lengthscales=self.ls)
+        d = (self.X[:, None, :] - self.Z[None, :, :]) / self.ls
+        expect = 0.9 * np.cos(np.sqrt(np.sum(d ** 2, -1)))
+        assert_allclose(np.asarray(k.K(self.X, self.Z)), expect,
+                        rtol=1e-8)
+
+    def test_periodic(self):
+        from doubly_stochastic_dgp_tpu.ops.kernels import Periodic
+        k = Periodic.make(3, variance=1.2, lengthscales=self.ls,
+                          period=1.9)
+        d = self.X[:, None, :] - self.Z[None, :, :]
+        s = np.sin(np.pi * d / 1.9) / self.ls
+        expect = 1.2 * np.exp(-0.5 * np.sum(s ** 2, -1))
+        assert_allclose(np.asarray(k.K(self.X, self.Z)), expect,
+                        rtol=1e-10)
+        # symmetric gram is PSD
+        K = np.asarray(k.K(self.X))
+        assert np.min(np.linalg.eigvalsh(K)) > -1e-10
+
+    def test_arccosine_orders(self):
+        from doubly_stochastic_dgp_tpu.ops.kernels import ArcCosine
+        w = np.random.RandomState(4).rand(3) + 0.3
+        for order in (0, 1, 2):
+            k = ArcCosine.make(3, order=order, variance=1.3,
+                               weight_variances=w, bias_variance=0.7)
+
+            def num_K(A, B):
+                wp = 0.7 + (A * w) @ B.T
+                dA = 0.7 + np.sum(A ** 2 * w, -1)
+                dB = 0.7 + np.sum(B ** 2 * w, -1)
+                den = np.sqrt(dA[:, None] * dB[None, :])
+                th = np.arccos(np.clip(wp / den, -1, 1))
+                if order == 0:
+                    J = np.pi - th
+                elif order == 1:
+                    J = np.sin(th) + (np.pi - th) * np.cos(th)
+                else:
+                    J = 3 * np.sin(th) * np.cos(th) \
+                        + (np.pi - th) * (1 + 2 * np.cos(th) ** 2)
+                return 1.3 / np.pi * J * den ** order
+
+            assert_allclose(np.asarray(k.K(self.X, self.Z)),
+                            num_K(self.X, self.Z), rtol=1e-6)
+            assert_allclose(np.asarray(k.Kdiag(self.X)),
+                            np.diag(num_K(self.X, self.X)), rtol=1e-6)
+            # PSD
+            K = np.asarray(k.K(self.X))
+            assert np.min(np.linalg.eigvalsh(K)) > -1e-8
+
+    def test_composition_and_dgp_layer(self):
+        """The new kernels compose through Sum/Product and drive an
+        SVGP layer end-to-end."""
+        import doubly_stochastic_dgp_tpu as dsd
+        from doubly_stochastic_dgp_tpu.ops.kernels import (Periodic,
+                                                           RationalQuadratic)
+        import jax
+
+        rng = np.random.RandomState(0)
+        X = rng.rand(16, 2)
+        Y = np.sin(6 * X[:, :1]) + 0.1 * rng.randn(16, 1)
+        k = RationalQuadratic.make(2) + Periodic.make(2)
+        m = dsd.DGP.build(X, Y, X[:6].copy(), [k], dsd.Gaussian.make(0.1),
+                          num_samples=3)
+        e = m.elbo(key=jax.random.PRNGKey(0))
+        assert np.isfinite(float(e))
+        g = jax.grad(lambda mm: mm.elbo(key=jax.random.PRNGKey(0)))(m)
+        assert all(np.all(np.isfinite(l))
+                   for l in jax.tree_util.tree_leaves(g))
