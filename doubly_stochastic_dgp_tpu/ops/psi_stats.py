@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .kernels import RBF, Sum, White
+from .kernels import RBF, Linear, Sum, White
 
 __all__ = ["psi_statistics"]
 
@@ -117,15 +117,39 @@ def _rbf_psi(kern: RBF, mu, S, Z):
     return psi0, psi1, psi2
 
 
+def _linear_psi(kern: Linear, mu, S, Z):
+    """Closed-form psi statistics for the (ARD) Linear kernel
+    k(x, z) = sum_d v_d x_d z_d under x_n ~ N(mu_n, diag(S_n)) — the
+    other kernel family gpflow.expectations supports (the reference's
+    uncertain-input path accepts it via the same expectation() call,
+    layers.py:415-417):
+
+      psi0[n]    = sum_d v_d (mu_nd^2 + S_nd)
+      psi1[n, m] = sum_d v_d mu_nd z_md
+      psi2       = Zv (sum_n mu_n mu_n^T + diag(sum_n S_n)) Zv^T,
+                   Zv = Z * v  (second moment of x contracted with the
+                   weighted inducing inputs — two MXU matmuls).
+    """
+    v = kern.variance.value + jnp.zeros_like(mu[0])             # (D,)
+    psi0 = jnp.sum(v * (mu ** 2 + S), axis=-1)                  # (N,)
+    psi1 = (mu * v) @ Z.T                                       # (N, M)
+    second = mu.T @ mu + jnp.diag(jnp.sum(S, axis=0))           # (D, D)
+    Zv = Z * v                                                  # (M, D)
+    psi2 = Zv @ second @ Zv.T                                   # (M, M)
+    return psi0, psi1, psi2
+
+
 def psi_statistics(kern, mu, S, Z):
-    """Dispatch on kernel type. Supports RBF and Sum(RBF, White, ...) —
-    the combinations the reference demos/tests exercise.
+    """Dispatch on kernel type. Supports RBF, Linear and
+    Sum(RBF, White, ...) — the families gpflow.expectations covers.
 
     White contributes its variance to psi0 only (its cross-covariance is
     zero, so psi1/psi2 cross terms vanish in expectation).
     """
     if isinstance(kern, RBF):
         return _rbf_psi(kern, mu, S, Z)
+    if isinstance(kern, Linear):
+        return _linear_psi(kern, mu, S, Z)
     if isinstance(kern, Sum):
         N = mu.shape[0]
         M = Z.shape[0]

@@ -144,3 +144,25 @@ def test_psi2_blocked_equals_unblocked():
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(p0a), np.asarray(p0b))
     np.testing.assert_allclose(np.asarray(p1a), np.asarray(p1b))
+
+
+def test_linear_psi_vs_quadrature():
+    """Linear-kernel psi statistics vs the brute-force GH oracle."""
+    from doubly_stochastic_dgp_tpu.ops.kernels import Linear
+
+    np.random.seed(2)
+    N, D, M = 3, 2, 4
+    mu = np.random.randn(N, D) * 0.7
+    S = 0.05 + np.random.rand(N, D) * 0.4
+    Z = np.random.randn(M, D)
+    v = np.array([0.8, 1.4])
+
+    k = Linear.make(D, variance=v, ard=True)
+    psi0, psi1, psi2 = psi_statistics(k, jnp.asarray(mu), jnp.asarray(S),
+                                      jnp.asarray(Z))
+    q1, q2 = _quad_psi_fn(lambda x: (x * v) @ Z.T, mu, S, Z, H=40)
+
+    expect_psi0 = np.sum(v * (mu ** 2 + S), axis=-1)
+    assert_allclose(np.asarray(psi0), expect_psi0, rtol=1e-10)
+    assert_allclose(np.asarray(psi1), q1, rtol=1e-8, atol=1e-10)
+    assert_allclose(np.asarray(psi2), q2, rtol=1e-7, atol=1e-8)
