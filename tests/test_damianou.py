@@ -153,3 +153,73 @@ def test_full_cov_propagation_adds_inner_noise_on_diagonal():
                                atol=1e-8)
     inner_var = float(m.noise[0].value)
     assert np.all(np.asarray(Vs_diag[0]) >= inner_var - 1e-9)
+
+
+def test_bound_is_below_true_log_marginal():
+    """The Damianou bound must lower-bound log p(Y|X) of the generative
+    model (layer-1 GP + noise -> layer-2 full GP + noise), estimated by
+    Monte Carlo: log p(Y|X) ~= logsumexp_h [ exact-GPR-marginal(Y; H_h) ]
+    - log n, H_h ~ p(H|X).  A sign error in the entropy or the
+    random-output corrections would inflate the bound past it."""
+    from scipy.linalg import cho_factor, cho_solve
+
+    rng = np.random.RandomState(0)
+    N, D = 8, 1
+    X = np.sort(rng.uniform(size=(N, D)), axis=0)
+    Y = np.sin(4 * X) + 0.1 * rng.randn(N, 1)
+
+    k1 = dsd.RBF.make(D, variance=1.0, lengthscales=0.5)
+    k2 = dsd.RBF.make(D, variance=1.0, lengthscales=0.8)
+    model = dsd.DGPDamianou.build(X, Y, X.copy(), [k1, k2],
+                                  dsd.Gaussian.make(0.05),
+                                  inner_noise=1e-2)
+
+    # modest optimization of q only (freeze hyperparams so the MC
+    # estimate below uses the same generative model)
+    import optax
+    from doubly_stochastic_dgp_tpu.training.optim import masked_optimizer
+    from doubly_stochastic_dgp_tpu.utils.modules import Param
+
+    def freeze_hypers(path, param):
+        names = [str(getattr(p, "name", getattr(p, "idx", "")))
+                 for p in path]
+        return not any(h in names for h in ("h_mean", "h_var"))
+
+    tx = masked_optimizer(optax.adam(0.02), model, freeze=freeze_hypers)
+    state = tx.init(model)
+
+    @jax.jit
+    def step(model, state):
+        loss, grads = jax.value_and_grad(lambda m: -m.elbo())(model)
+        updates, state = tx.update(grads, state, model)
+        return optax.apply_updates(model, updates), state, loss
+
+    for _ in range(200):
+        model, state, _ = step(model, state)
+    bound = float(model.elbo())
+
+    # MC estimate of the exact log marginal with the same hyperparams
+    sigma1 = float(model.noise[0].value)
+    sigma2 = float(model.likelihood.variance.value)
+    K1 = np.asarray(model.layers[0].kern.K(jnp.asarray(X)))
+    L1 = np.linalg.cholesky(K1 + (sigma1 + 1e-12) * np.eye(N))
+    n_mc = 4000
+    rng2 = np.random.RandomState(1)
+    logws = np.zeros(n_mc)
+    kern2 = model.layers[1].kern
+    for i in range(n_mc):
+        H = L1 @ rng2.randn(N, D)
+        K2 = np.asarray(kern2.K(jnp.asarray(H))) + sigma2 * np.eye(N)
+        c, low = cho_factor(K2, lower=True)
+        alpha = cho_solve((c, low), Y)
+        logdet = 2 * np.sum(np.log(np.diag(c)))
+        logws[i] = (-0.5 * Y.T @ alpha - 0.5 * logdet
+                    - 0.5 * N * np.log(2 * np.pi)).item()
+    from scipy.special import logsumexp
+    logp_hat = logsumexp(logws) - np.log(n_mc)
+    # the MC estimator of log E[w] is downward-biased (Jensen), so the
+    # margin is one-sided generous; an entropy sign error shifts the
+    # bound by O(|H(q)|) ~ tens of nats and would blow straight past it
+    assert bound <= logp_hat + 1.0, (bound, logp_hat)
+    # and the bound is not absurdly loose either (sanity of the test)
+    assert bound > logp_hat - 50.0, (bound, logp_hat)
