@@ -31,6 +31,32 @@ __all__ = ["psi_statistics"]
 PSI2_BLOCK_ROWS = 8192
 
 
+def _blocked_data_sum(block_fn, mu, S, out_shape):
+    """Accumulate ``block_fn(mu_b, S_b, w_b) -> out_shape`` over row
+    blocks of the data (lax.scan), so peak memory for the per-row
+    intermediates stays O(PSI2_BLOCK_ROWS * ...) however large N grows.
+    ``w_b`` is a row mask that zeroes padded rows."""
+    N = mu.shape[0]
+    block = PSI2_BLOCK_ROWS
+    if N <= block:
+        return block_fn(mu, S, jnp.ones((N,), dtype=mu.dtype))
+    n_blocks = -(-N // block)
+    pad = n_blocks * block - N
+    w = jnp.pad(jnp.ones((N,), dtype=mu.dtype), (0, pad))
+    mu_p = jnp.pad(mu, ((0, pad), (0, 0)))
+    S_p = jnp.pad(S, ((0, pad), (0, 0)), constant_values=1.0)
+    args = (mu_p.reshape(n_blocks, block, -1),
+            S_p.reshape(n_blocks, block, -1),
+            w.reshape(n_blocks, block))
+
+    def body(acc, xs):
+        return acc + block_fn(*xs), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros(out_shape, dtype=mu.dtype),
+                          args)
+    return out
+
+
 def _rbf_cross_psi2(ka: RBF, kb: RBF, mu, S, Z):
     """Cross second moment sum_n E[ k_a(x_n, z_m) k_b(x_n, z_m') ]
     for two (ARD) RBF kernels, x_n ~ N(mu_n, diag(S_n)).  Returns (M, M).
@@ -76,25 +102,54 @@ def _rbf_cross_psi2(ka: RBF, kb: RBF, mu, S, Z):
             logdet[:, None, None] + log_zz[None, :, :] + quad)  # (B, M, M)
         return jnp.einsum("n,nab->ab", w_b, psi2_n)             # (M, M)
 
-    N = mu.shape[0]
-    block = PSI2_BLOCK_ROWS
-    if N <= block:
-        return block_sum(mu, S, jnp.ones((N,), dtype=mu.dtype))
-    n_blocks = -(-N // block)
-    pad = n_blocks * block - N
-    w = jnp.pad(jnp.ones((N,), dtype=mu.dtype), (0, pad))
-    mu_p = jnp.pad(mu, ((0, pad), (0, 0)))
-    S_p = jnp.pad(S, ((0, pad), (0, 0)), constant_values=1.0)
-    args = (mu_p.reshape(n_blocks, block, -1),
-            S_p.reshape(n_blocks, block, -1),
-            w.reshape(n_blocks, block))
+    M = Z.shape[0]
+    return _blocked_data_sum(block_sum, mu, S, (M, M))
 
-    def body(acc, xs):
-        return acc + block_sum(*xs), None
+
+def _rbf_lin_cross_psi2(kr: RBF, kl: Linear, mu, S, Z):
+    """Cross second moment sum_n E[ k_rbf(x_n, z_m) k_lin(x_n, z_m') ]
+    for an (ARD) RBF and an (ARD) Linear kernel; returns (M, M) with the
+    RBF factor indexing m and the Linear factor indexing m'.
+
+    Derivation (dims independent under the diagonal Gaussian): the RBF
+    factor reweights x_n to a Gaussian with per-dim mean
+    xbar_d = (a_d mu_d + S_d z_md) / (a_d + S_d)  (a = ls^2), carrying
+    the usual psi1 normalizer; the linear factor is then evaluated at
+    that mean:  C[m, m'] = sum_n psi1_rbf[n, m] * sum_d v_d
+    xbar[n, m, d] z_{m'd}.  This is the Sum-kernel RBF-Linear cross term
+    gpflow.expectations supplies to the reference at
+    /root/reference/doubly_stochastic_dgp/layers.py:415-417.
+    """
+    var = kr.variance.value
+    a = kr.lengthscales.value ** 2 + jnp.zeros_like(mu[0])      # (D,)
+    v = kl.variance.value + jnp.zeros_like(mu[0])               # (D,)
+
+    def block_sum(mu_b, S_b, w_b):
+        denom = a + S_b                                         # (B, D)
+        logdet = -0.5 * jnp.sum(jnp.log1p(S_b / a), axis=-1)    # (B,)
+        d1 = mu_b[:, None, :] - Z[None, :, :]                   # (B, M, D)
+        quad = -0.5 * jnp.sum(d1 ** 2 / denom[:, None, :], axis=-1)
+        psi1 = var * jnp.exp(logdet[:, None] + quad)            # (B, M)
+        xbar = ((a * mu_b)[:, None, :] + S_b[:, None, :] * Z[None, :, :]
+                ) / denom[:, None, :]                           # (B, M, D)
+        U = jnp.einsum("nm,nmd->md", psi1 * w_b[:, None], xbar)
+        return (U * v) @ Z.T                                    # (M, M)
 
     M = Z.shape[0]
-    out, _ = jax.lax.scan(body, jnp.zeros((M, M), dtype=mu.dtype), args)
-    return out
+    return _blocked_data_sum(block_sum, mu, S, (M, M))
+
+
+def _x_second_moment(mu, S):
+    """sum_n E[x_n x_n^T] = mu^T mu + diag(sum_n S_n) — (D, D)."""
+    return mu.T @ mu + jnp.diag(jnp.sum(S, axis=0))
+
+
+def _lin_lin_cross_psi2(ka: Linear, kb: Linear, mu, S, Z):
+    """sum_n E[ k_a(x_n, z_m) k_b(x_n, z_m') ] for two Linear kernels:
+    (Z va) (sum_n E[x x^T]) (Z vb)^T — two MXU matmuls."""
+    va = ka.variance.value + jnp.zeros_like(mu[0])
+    vb = kb.variance.value + jnp.zeros_like(mu[0])
+    return (Z * va) @ _x_second_moment(mu, S) @ (Z * vb).T
 
 
 def _rbf_psi(kern: RBF, mu, S, Z):
@@ -133,15 +188,15 @@ def _linear_psi(kern: Linear, mu, S, Z):
     v = kern.variance.value + jnp.zeros_like(mu[0])             # (D,)
     psi0 = jnp.sum(v * (mu ** 2 + S), axis=-1)                  # (N,)
     psi1 = (mu * v) @ Z.T                                       # (N, M)
-    second = mu.T @ mu + jnp.diag(jnp.sum(S, axis=0))           # (D, D)
     Zv = Z * v                                                  # (M, D)
-    psi2 = Zv @ second @ Zv.T                                   # (M, M)
+    psi2 = Zv @ _x_second_moment(mu, S) @ Zv.T                  # (M, M)
     return psi0, psi1, psi2
 
 
 def psi_statistics(kern, mu, S, Z):
     """Dispatch on kernel type. Supports RBF, Linear and
-    Sum(RBF, White, ...) — the families gpflow.expectations covers.
+    Sum(RBF, Linear, White, ...) with all pairwise psi2 cross terms —
+    the families gpflow.expectations covers.
 
     White contributes its variance to psi0 only (its cross-covariance is
     zero, so psi1/psi2 cross terms vanish in expectation).
@@ -151,13 +206,20 @@ def psi_statistics(kern, mu, S, Z):
     if isinstance(kern, Linear):
         return _linear_psi(kern, mu, S, Z)
     if isinstance(kern, Sum):
+        # a + b + c builds nested Sums; flatten to one component list
+        def _flatten(k):
+            if isinstance(k, Sum):
+                return [c for part in k.kernels for c in _flatten(part)]
+            return [k]
+
         N = mu.shape[0]
         M = Z.shape[0]
         psi0 = jnp.zeros((N,), dtype=mu.dtype)
         psi1 = jnp.zeros((N, M), dtype=mu.dtype)
         psi2 = jnp.zeros((M, M), dtype=mu.dtype)
         rbf_parts = []
-        for k in kern.kernels:
+        lin_parts = []
+        for k in _flatten(kern):
             if isinstance(k, White):
                 psi0 = psi0 + k.variance.value
             elif isinstance(k, RBF):
@@ -166,16 +228,32 @@ def psi_statistics(kern, mu, S, Z):
                 psi1 = psi1 + p1
                 psi2 = psi2 + p2
                 rbf_parts.append(k)
+            elif isinstance(k, Linear):
+                p0, p1, p2 = _linear_psi(k, mu, S, Z)
+                psi0 = psi0 + p0
+                psi1 = psi1 + p1
+                psi2 = psi2 + p2
+                lin_parts.append(k)
             else:
                 raise NotImplementedError(
                     f"psi statistics for {type(k).__name__} in a Sum")
-        # psi2 cross terms between distinct RBF components:
+        # psi2 cross terms between distinct components:
         # E[(sum_i k_i)(z)(sum_j k_j)(z')] adds C_ij + C_ij^T for each
         # unordered pair (C_ij[m,m'] = E[k_i(x,z_m) k_j(x,z_m')], and
         # C_ji = C_ij^T by symmetry of the closed form in (m, m')).
+        # White crosses vanish: E[white(x,z)] = 0 for z off the data.
         for i in range(len(rbf_parts)):
             for j in range(i + 1, len(rbf_parts)):
                 C = _rbf_cross_psi2(rbf_parts[i], rbf_parts[j], mu, S, Z)
+                psi2 = psi2 + C + C.T
+        for i in range(len(lin_parts)):
+            for j in range(i + 1, len(lin_parts)):
+                C = _lin_lin_cross_psi2(lin_parts[i], lin_parts[j],
+                                        mu, S, Z)
+                psi2 = psi2 + C + C.T
+        for kr in rbf_parts:
+            for kl in lin_parts:
+                C = _rbf_lin_cross_psi2(kr, kl, mu, S, Z)
                 psi2 = psi2 + C + C.T
         return psi0, psi1, psi2
     raise NotImplementedError(

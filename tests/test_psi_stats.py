@@ -166,3 +166,57 @@ def test_linear_psi_vs_quadrature():
     assert_allclose(np.asarray(psi0), expect_psi0, rtol=1e-10)
     assert_allclose(np.asarray(psi1), q1, rtol=1e-8, atol=1e-10)
     assert_allclose(np.asarray(psi2), q2, rtol=1e-7, atol=1e-8)
+
+
+def test_sum_rbf_linear_white_cross_terms_vs_quadrature():
+    """Sum(RBF, Linear, White): psi2 needs the RBF-Linear cross term
+    (reference gets it from gpflow.expectations, layers.py:415-417).
+    White adds to psi0 only; the GH oracle integrates the RBF+Linear
+    part of the sum directly."""
+    from doubly_stochastic_dgp_tpu.ops.kernels import Linear
+
+    np.random.seed(3)
+    N, D, M = 3, 2, 4
+    mu = np.random.randn(N, D) * 0.6
+    S = 0.05 + np.random.rand(N, D) * 0.3
+    Z = np.random.randn(M, D)
+    var_r, ls = 1.3, np.array([0.7, 1.2])
+    v_lin = np.array([0.9, 0.5])
+    white_var = 0.17
+
+    k = (RBF.make(D, variance=var_r, lengthscales=ls)
+         + Linear.make(D, variance=v_lin, ard=True)
+         + White.make(D, variance=white_var))
+    psi0, psi1, psi2 = psi_statistics(k, jnp.asarray(mu), jnp.asarray(S),
+                                      jnp.asarray(Z))
+
+    def krow(x):
+        return _np_rbf(x, Z, var_r, ls) + (x * v_lin) @ Z.T
+
+    q1, q2 = _quad_psi_fn(krow, mu, S, Z, H=40)
+    expect_psi0 = (np.full(N, var_r) + np.sum(v_lin * (mu ** 2 + S), -1)
+                   + white_var)
+    assert_allclose(np.asarray(psi0), expect_psi0, rtol=1e-10)
+    assert_allclose(np.asarray(psi1), q1, rtol=1e-6, atol=1e-8)
+    assert_allclose(np.asarray(psi2), q2, rtol=1e-6, atol=1e-8)
+
+
+def test_sum_of_two_linears_cross_terms_vs_quadrature():
+    from doubly_stochastic_dgp_tpu.ops.kernels import Linear
+
+    np.random.seed(4)
+    N, D, M = 3, 2, 4
+    mu = np.random.randn(N, D) * 0.6
+    S = 0.05 + np.random.rand(N, D) * 0.3
+    Z = np.random.randn(M, D)
+    va = np.array([0.8, 1.4])
+    vb = np.array([0.3, 0.9])
+
+    k = (Linear.make(D, variance=va, ard=True)
+         + Linear.make(D, variance=vb, ard=True))
+    psi0, psi1, psi2 = psi_statistics(k, jnp.asarray(mu), jnp.asarray(S),
+                                      jnp.asarray(Z))
+    q1, q2 = _quad_psi_fn(lambda x: (x * va) @ Z.T + (x * vb) @ Z.T,
+                          mu, S, Z, H=40)
+    assert_allclose(np.asarray(psi1), q1, rtol=1e-8, atol=1e-10)
+    assert_allclose(np.asarray(psi2), q2, rtol=1e-7, atol=1e-8)
