@@ -50,9 +50,10 @@ def build(args):
     dsd.set_default_float("float32")
     dsd.set_default_jitter(1e-5)
     config.solve_mode = "inverse"
-    # --pallas forces the fused conditional everywhere; default "auto"
-    # enables it only in the measured-win region (shape-gated)
-    config.use_pallas = True if args.pallas else "auto"
+    # --pallas forces the fused conditional everywhere; default False —
+    # end-to-end measurements show XLA ahead in-context at all shapes
+    # tried (PERF.md round 3; scripts/bench_large_m.py)
+    config.use_pallas = True if args.pallas else False
 
     from doubly_stochastic_dgp_tpu.data.datasets import (Datasets,
                                                          SyntheticRegression)

@@ -56,10 +56,14 @@ class Config:
     solve_mode: str = "solve"
     # Routing of the fused Pallas conditional: False = never, True =
     # always (tests force this with interpret mode on CPU), "auto" =
-    # only in the measured-win region on a real TPU (few-output-dim
-    # conditionals at mid/large M; ops/pallas/conditional.py::
-    # pallas_profitable).
-    use_pallas: object = "auto"
+    # only where an *isolated* kernel-vs-XLA probe wins on a real TPU
+    # (ops/pallas/conditional.py::pallas_profitable).  Default False:
+    # end-to-end training measurements (PERF.md "Fused Pallas
+    # conditional, round 3" + scripts/bench_large_m.py) show XLA's
+    # whole-graph fusion beats the kernel in-context at every shape
+    # tried, including the isolated-win region — the kernel stays as
+    # opt-in infrastructure with exact parity tests.
+    use_pallas: object = False
 
 
 # A single process-global Config: setters and temp_config mutate this one
