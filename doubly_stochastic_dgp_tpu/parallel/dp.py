@@ -38,7 +38,8 @@ except ImportError:  # older jax
 from .mesh import pad_to_multiple
 
 __all__ = ["dp_elbo", "make_dp_train_step", "make_dp_scan_train_step",
-           "make_dp_natgrad_adam_step", "dp_predict_y"]
+           "make_dp_natgrad_adam_step", "dp_predict_y", "sp_elbo",
+           "make_dp_sp_scan_train_step"]
 
 
 def _kl_sum(model):
@@ -275,6 +276,140 @@ def make_dp_natgrad_adam_step(adam_tx: optax.GradientTransformation,
         return model, opt_state, loss
 
     return step
+
+
+def sp_elbo(model, X, Y, key, mesh: Mesh, axis: str = "sample",
+            batch_size: Optional[int] = None, zs=None):
+    """ELBO with the MC **sample** axis sharded over ``axis``
+    (SURVEY §2.4 bullet 2: the S samples are independent, reference
+    dgp.py:63-76).  Each device propagates ``S // n_dev`` samples with a
+    decorrelated key and the per-sample variational expectations are
+    pmean'd, so the value is the S-total-sample estimate; the KL is
+    replicated and counted once.
+
+    With explicit ``zs`` (a list of (S, N, D_l) arrays, sharded on their
+    leading axis) the value equals the single-device ELBO with the same
+    zs exactly — the plumbing test the MC path shares.
+    """
+    n_dev = mesh.shape[axis]
+    B = batch_size or X.shape[0]
+    scale_num = model.num_data
+
+    def _bound(model, X, Y, ve_s):
+        # ve_s: (S_local, n, D) per-sample variational expectations
+        ve = jax.lax.pmean(jnp.mean(ve_s, axis=0), axis)    # (n, D)
+        total = jnp.sum(ve)
+        KL = _kl_sum(model)
+        scale = jnp.asarray(scale_num, dtype=total.dtype) / B
+        return total * scale - KL
+
+    if zs is not None:
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(), P(), [P(axis)] * len(zs)),
+                 out_specs=P())
+        def _run_zs(model, X, Y, zs):
+            _, Fmeans, Fvars = model.propagate(X, zs=zs, full_cov=False,
+                                               S=zs[0].shape[0])
+            ve_s = model.likelihood.variational_expectations(
+                Fmeans[-1], Fvars[-1], Y)
+            return _bound(model, X, Y, ve_s)
+
+        return _run_zs(model, X, Y, list(zs))
+
+    S = model.num_samples
+    if S % n_dev != 0:
+        raise ValueError(f"num_samples={S} must divide the '{axis}' "
+                         f"mesh axis ({n_dev})")
+    S_local = S // n_dev
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P(), P()),
+             out_specs=P())
+    def _run(model, X, Y, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        Fmean, Fvar = model._predict(X, key=key, full_cov=False,
+                                     S=S_local)
+        ve_s = model.likelihood.variational_expectations(Fmean, Fvar, Y)
+        return _bound(model, X, Y, ve_s)
+
+    return _run(model, X, Y, key)
+
+
+def _dp_sp_local_loss(model, X, Y, ks, S_local, B, n_dev_total, n_samp):
+    """Per-device loss term of the data x sample sharded ELBO: psum over
+    BOTH mesh axes of this quantity reproduces ``-elbo`` with the VE
+    sample-averaged over n_samp equal groups and the KL counted once.
+    Module-level so tests can emulate the mesh step device-by-device."""
+    Fmean, Fvar = model._predict(X, key=ks, full_cov=False, S=S_local)
+    ve_s = model.likelihood.variational_expectations(Fmean, Fvar, Y)
+    total = jnp.sum(jnp.mean(ve_s, axis=0))
+    scale = jnp.asarray(model.num_data, dtype=total.dtype) / B
+    return -(total * scale / n_samp - _kl_sum(model) / n_dev_total)
+
+
+def make_dp_sp_scan_train_step(tx: optax.GradientTransformation,
+                               mesh: Mesh, data_axis: str = "data",
+                               sample_axis: str = "sample",
+                               batch_size: Optional[int] = None,
+                               inner_steps: int = 10):
+    """Scanned train step over a 2-D (data x sample) mesh: the
+    minibatch N axis shards over ``data_axis`` and the S MC samples
+    over ``sample_axis`` (SURVEY §2.4 bullets 1+2 composed).  Device
+    (di, si) draws the SAME local minibatch as every other si in its
+    data column (the batch key folds only di) but decorrelated samples
+    (the sample key folds both); per-step grads are psum'd over both
+    axes.  ``step(model, opt_state, X_sharded, Y_sharded, key)`` takes
+    the full training set sharded over ``data_axis``, replicated over
+    ``sample_axis``."""
+    n_data = mesh.shape[data_axis]
+    n_samp = mesh.shape[sample_axis]
+    local_bs = None if batch_size is None else max(1, batch_size // n_data)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(data_axis), P(data_axis), P()),
+             out_specs=(P(), P(), P()))
+    def run(model, opt_state, X_l, Y_l, key):
+        di = jax.lax.axis_index(data_axis)
+        si = jax.lax.axis_index(sample_axis)
+        S = model.num_samples
+        S_local = max(1, S // n_samp)
+        n_local = X_l.shape[0]
+        if local_bs is not None and local_bs < n_local:
+            B = local_bs * n_data
+        else:
+            B = n_local * n_data
+
+        def body(carry, k):
+            model, opt_state = carry
+            kb, ks = jax.random.split(jax.random.fold_in(k, di))
+            ks = jax.random.fold_in(ks, si)
+            if local_bs is not None and local_bs < n_local:
+                idx = jax.random.randint(kb, (local_bs,), 0, n_local)
+                X, Y = X_l[idx], Y_l[idx]
+            else:
+                X, Y = X_l, Y_l
+
+            loss_l, grads_l = jax.value_and_grad(_dp_sp_local_loss)(
+                model, X, Y, ks, S_local, B, n_data * n_samp, n_samp)
+            # psum one axis at a time: a value can be varying over one
+            # axis and invarying over the other (e.g. a single-layer DGP
+            # has no inner sampling, so nothing depends on the sample
+            # key) and psum rejects mixed varying states in one call;
+            # per-axis the state is homogeneous and psum of an
+            # invarying value is the correct sum (value x axis size).
+            grads, loss = grads_l, loss_l
+            for ax in (data_axis, sample_axis):
+                grads = jax.lax.psum(grads, ax)
+                loss = jax.lax.psum(loss, ax)
+            updates, opt_state = tx.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            return (model, opt_state), loss
+
+        keys = jax.random.split(key, inner_steps)
+        (model, opt_state), losses = jax.lax.scan(body,
+                                                  (model, opt_state), keys)
+        return model, opt_state, jnp.mean(losses)
+
+    return jax.jit(run)
 
 
 def dp_predict_y(model, Xnew, S: int, key, mesh: Mesh,

@@ -228,3 +228,127 @@ def test_dp_predict_y_moment_pooling():
     v_ref = np.mean(secs, axis=0) - m_ref ** 2
     assert_allclose(np.asarray(m_dp), m_ref, rtol=1e-9)
     assert_allclose(np.asarray(v_dp), v_ref, rtol=1e-9)
+
+
+def test_sp_elbo_with_zs_matches_single_device_exactly():
+    """Sample-parallel ELBO: with explicit zs sharded over the sample
+    axis, the value equals the single-device bound with the same zs
+    (exact — validates the pmean weighting and KL-once accounting)."""
+    from doubly_stochastic_dgp_tpu.parallel.dp import sp_elbo
+
+    m = _model(S=8)
+    mesh = make_mesh(axis="sample")
+    S = m.num_samples
+    rng = np.random.RandomState(3)
+    N = m.X_data.shape[0]
+    zs = [jnp.asarray(rng.randn(S, N, l.num_outputs)) for l in m.layers]
+
+    _, Fmeans, Fvars = m.propagate(m.X_data, zs=zs, S=S)
+    ve = m.likelihood.variational_expectations(Fmeans[-1], Fvars[-1],
+                                               m.Y_data)
+    KL = sum(float(l.KL()) for l in m.layers)
+    ref = float(jnp.sum(jnp.mean(ve, 0))) - KL
+
+    got = float(sp_elbo(m, m.X_data, m.Y_data, None, mesh, zs=zs))
+    assert_allclose(got, ref, rtol=1e-10)
+
+
+def test_sp_elbo_mc_unbiased_same_total_samples():
+    """The MC sp_elbo uses S//n_dev samples per device with
+    decorrelated keys; averaging many draws must agree with the
+    single-device S-sample estimator's average (both estimate the same
+    deterministic-zs bound in the deterministic limit; here we check
+    the stochastic means coincide within MC error)."""
+    from doubly_stochastic_dgp_tpu.parallel.dp import sp_elbo
+
+    m = _model(S=8)
+    mesh = make_mesh(axis="sample")
+    vals_sp, vals_sd = [], []
+    for i in range(40):
+        k = jax.random.PRNGKey(i)
+        vals_sp.append(float(sp_elbo(m, m.X_data, m.Y_data, k, mesh)))
+        vals_sd.append(float(m.elbo(key=k)))
+    se = np.std(vals_sd) / np.sqrt(len(vals_sd)) + np.std(vals_sp) / np.sqrt(len(vals_sp))
+    assert abs(np.mean(vals_sp) - np.mean(vals_sd)) < 5 * se + 1e-9
+
+
+def test_dp_sp_scan_train_step_matches_device_emulation():
+    """One inner step of the 2-D (data x sample) scanned step must
+    equal a device-by-device single-host emulation using the same
+    module-level local-loss function and key derivations (exact psum
+    accounting: VE averaged over sample groups, KL counted once)."""
+    import optax
+    from doubly_stochastic_dgp_tpu.parallel.dp import (
+        _dp_sp_local_loss, make_dp_sp_scan_train_step)
+    from doubly_stochastic_dgp_tpu.training.optim import masked_optimizer
+    from jax.sharding import Mesh
+
+    m = _model(N=8, S=4, L=1)
+    n_data, n_samp = 2, 2
+    devs = np.asarray(jax.devices()[:4]).reshape(n_data, n_samp)
+    mesh = Mesh(devs, ("data", "sample"))
+    tx = masked_optimizer(optax.adam(0.01), m)
+    opt_state = tx.init(m)
+    step = make_dp_sp_scan_train_step(tx, mesh, inner_steps=1)
+
+    key = jax.random.PRNGKey(7)
+    m2, _, loss = step(m, opt_state, m.X_data, m.Y_data, key)
+
+    # --- emulation: same key derivation and local loss per (di, si)
+    k0 = jax.random.split(key, 1)[0]
+    N = m.X_data.shape[0]
+    n_local = N // n_data
+    S_local = m.num_samples // n_samp
+    B = n_local * n_data
+    loss_e = 0.0
+    grads_e = None
+    for di in range(n_data):
+        X_l = m.X_data[di * n_local:(di + 1) * n_local]
+        Y_l = m.Y_data[di * n_local:(di + 1) * n_local]
+        for si in range(n_samp):
+            _, ks = jax.random.split(jax.random.fold_in(k0, di))
+            ks = jax.random.fold_in(ks, si)
+            l, g = jax.value_and_grad(_dp_sp_local_loss)(
+                m, X_l, Y_l, ks, S_local, B, n_data * n_samp, n_samp)
+            loss_e += float(l)
+            leaves = jax.tree_util.tree_leaves(g)
+            if grads_e is None:
+                grads_e = leaves
+            else:
+                grads_e = [a + b for a, b in zip(grads_e, leaves)]
+    assert_allclose(float(loss), loss_e, rtol=1e-9)
+
+    g_struct = jax.tree_util.tree_structure(
+        jax.grad(lambda mm: _dp_sp_local_loss(
+            mm, m.X_data, m.Y_data, jax.random.PRNGKey(0), S_local, B,
+            4, n_samp))(m))
+    grads_full = jax.tree_util.tree_unflatten(g_struct, grads_e)
+    updates, _ = tx.update(grads_full, tx.init(m), m)
+    m_expected = optax.apply_updates(m, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(m2),
+                    jax.tree_util.tree_leaves(m_expected)):
+        assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8,
+                        atol=1e-10)
+
+
+def test_dp_sp_scan_train_step_improves():
+    import optax
+    from doubly_stochastic_dgp_tpu.parallel.dp import (
+        make_dp_sp_scan_train_step)
+    from doubly_stochastic_dgp_tpu.training.optim import masked_optimizer
+    from jax.sharding import Mesh
+
+    m = _model(N=32, S=4, L=1)
+    devs = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "sample"))
+    tx = masked_optimizer(optax.adam(0.05), m)
+    opt_state = tx.init(m)
+    step = make_dp_sp_scan_train_step(tx, mesh, batch_size=16,
+                                      inner_steps=5)
+    key = jax.random.PRNGKey(0)
+    m1, opt_state, loss0 = step(m, opt_state, m.X_data, m.Y_data, key)
+    for i in range(4):
+        m1, opt_state, loss = step(m1, opt_state, m.X_data, m.Y_data,
+                                   jax.random.fold_in(key, i + 1))
+    assert np.isfinite(float(loss))
+    assert float(loss) < float(loss0)
