@@ -17,10 +17,12 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .optim import partition_trainable
 
-__all__ = ["hmc_sample", "HMCInfo"]
+__all__ = ["hmc_sample", "hmc_sample_chains", "potential_scale_reduction",
+           "HMCInfo"]
 
 
 class HMCInfo(NamedTuple):
@@ -29,29 +31,12 @@ class HMCInfo(NamedTuple):
     final_log_prob: float
 
 
-def hmc_sample(model, log_prob_fn: Callable, key,
-               num_samples: int = 100, num_burn: int = 100,
-               step_size: float = 0.01, num_leapfrog: int = 10,
-               freeze=None, adapt_step_size: bool = False,
-               target_accept: float = 0.8):
-    """Run HMC; returns (samples, accept_rate, rebuild, info).
-
-    ``samples`` is (num_samples, P) raveled positions; ``rebuild(vec)``
-    maps a position back to a model.  log_prob_fn(model) -> scalar
-    log target (un-normalized posterior).
-
-    ``adapt_step_size=True`` tunes the leapfrog step size by dual
-    averaging toward ``target_accept`` during the ``num_burn``
-    iterations, then freezes it at the averaged value for sampling —
-    ``step_size`` becomes the initial guess.
-    """
-    flat0, rebuild = partition_trainable(model, freeze=freeze)
-
-    def logp(v):
-        return log_prob_fn(rebuild(v))
-
-    logp_grad = jax.value_and_grad(logp)
-    dtype = flat0.dtype
+def _make_chain_runner(logp_grad, dtype, num_samples, num_burn,
+                       step_size, num_leapfrog, adapt_step_size,
+                       target_accept):
+    """Build the jittable single-chain scan ``run(flat0, lp0, keys) ->
+    (final_carry, positions)``; `hmc_sample_chains` vmaps it so C
+    chains advance in lockstep as one batched (MXU-friendly) program."""
     # dual-averaging constants (Hoffman & Gelman 2014)
     da_mu = jnp.asarray(jnp.log(10.0 * step_size), dtype=dtype)
     da_t0, da_gamma, da_kappa = 10.0, 0.05, 0.75
@@ -108,12 +93,9 @@ def hmc_sample(model, log_prob_fn: Callable, key,
             log_eps_bar = jnp.where(in_burn, log_eps_bar_n, log_eps_bar)
         return (q, lp, acc, log_eps, log_eps_bar, Hbar), q
 
-    lp0 = logp(flat0)
     total = num_burn + num_samples
-    keys = jax.random.split(key, total)
     its = jnp.arange(total)
 
-    @jax.jit
     def run(flat0, lp0, keys):
         zero = jnp.zeros((), dtype=dtype)
         carry = (flat0, lp0, zero,
@@ -122,7 +104,40 @@ def hmc_sample(model, log_prob_fn: Callable, key,
         carry, qs = jax.lax.scan(kernel, carry, (keys, its))
         return carry, qs
 
-    (qf, lpf, acc, log_eps, log_eps_bar, _), qs = run(flat0, lp0, keys)
+    return run
+
+
+def hmc_sample(model, log_prob_fn: Callable, key,
+               num_samples: int = 100, num_burn: int = 100,
+               step_size: float = 0.01, num_leapfrog: int = 10,
+               freeze=None, adapt_step_size: bool = False,
+               target_accept: float = 0.8):
+    """Run HMC; returns (samples, accept_rate, rebuild, info).
+
+    ``samples`` is (num_samples, P) raveled positions; ``rebuild(vec)``
+    maps a position back to a model.  log_prob_fn(model) -> scalar
+    log target (un-normalized posterior).
+
+    ``adapt_step_size=True`` tunes the leapfrog step size by dual
+    averaging toward ``target_accept`` during the ``num_burn``
+    iterations, then freezes it at the averaged value for sampling —
+    ``step_size`` becomes the initial guess.
+    """
+    flat0, rebuild = partition_trainable(model, freeze=freeze)
+
+    def logp(v):
+        return log_prob_fn(rebuild(v))
+
+    logp_grad = jax.value_and_grad(logp)
+    dtype = flat0.dtype
+    run = jax.jit(_make_chain_runner(
+        logp_grad, dtype, num_samples, num_burn, step_size,
+        num_leapfrog, adapt_step_size, target_accept))
+
+    total = num_burn + num_samples
+    keys = jax.random.split(key, total)
+    (qf, lpf, acc, log_eps, log_eps_bar, _), qs = run(flat0, logp(flat0),
+                                                     keys)
     samples = qs[num_burn:]
     accept_rate = float(acc) / total
     final_eps = float(jnp.exp(log_eps_bar)) if adapt_step_size \
@@ -130,3 +145,73 @@ def hmc_sample(model, log_prob_fn: Callable, key,
     info = HMCInfo(accept_rate=accept_rate, step_size=final_eps,
                    final_log_prob=float(lpf))
     return samples, accept_rate, rebuild, info
+
+
+def potential_scale_reduction(samples):
+    """Split-R-hat (Gelman et al., BDA3 / Vehtari et al. 2021) per
+    parameter from ``samples`` (C, S, P).  Each chain is split in half
+    (2C half-chains), and R-hat = sqrt(((n-1)/n W + B/n) / W); values
+    near 1 indicate the chains mix over the same distribution."""
+    C, S, P = samples.shape
+    n = S // 2
+    halves = jnp.reshape(samples[:, : 2 * n, :], (2 * C, n, P))
+    means = jnp.mean(halves, axis=1)                       # (2C, P)
+    variances = jnp.var(halves, axis=1, ddof=1)            # (2C, P)
+    W = jnp.mean(variances, axis=0)                        # (P,)
+    B = n * jnp.var(means, axis=0, ddof=1)                 # (P,)
+    var_plus = (n - 1) / n * W + B / n
+    return jnp.sqrt(var_plus / jnp.maximum(W, 1e-300))
+
+
+def hmc_sample_chains(model, log_prob_fn: Callable, key,
+                      num_chains: int = 4, num_samples: int = 100,
+                      num_burn: int = 100, step_size: float = 0.01,
+                      num_leapfrog: int = 10, freeze=None,
+                      adapt_step_size: bool = True,
+                      target_accept: float = 0.8,
+                      init_jitter: float = 0.1):
+    """Multi-chain HMC: C chains advance in lockstep inside ONE jitted
+    vmap'd scan — the TPU-native way to run MCMC (the per-chain
+    gradient evaluations batch into (C, ...) tensor ops on the MXU
+    instead of C sequential chains; the reference's GPflow/TF1 HMC is
+    strictly single-chain).  Each chain adapts its own step size by
+    dual averaging during burn-in; initial positions are the model's
+    values perturbed by ``init_jitter``-scaled Gaussian noise
+    (overdispersed starts, as split-R-hat assumes).
+
+    Returns (samples (C, num_samples, P), accept_rates (C,), rebuild,
+    info dict with per-chain step sizes and per-parameter split R-hat).
+    """
+    flat0, rebuild = partition_trainable(model, freeze=freeze)
+
+    def logp(v):
+        return log_prob_fn(rebuild(v))
+
+    logp_grad = jax.value_and_grad(logp)
+    dtype = flat0.dtype
+    run = _make_chain_runner(logp_grad, dtype, num_samples, num_burn,
+                             step_size, num_leapfrog, adapt_step_size,
+                             target_accept)
+
+    total = num_burn + num_samples
+    k_init, k_run = jax.random.split(key)
+    q0 = (flat0[None, :]
+          + init_jitter * jax.random.normal(
+              k_init, (num_chains, flat0.shape[0]), dtype=dtype))
+    chain_keys = jax.vmap(lambda k: jax.random.split(k, total))(
+        jax.random.split(k_run, num_chains))
+    lp0 = jax.vmap(logp)(q0)
+
+    carry, qs = jax.jit(jax.vmap(run))(q0, lp0, chain_keys)
+    _, lpf, acc, _, log_eps_bar, _ = carry
+    samples = qs[:, num_burn:, :]                          # (C, S, P)
+    accept_rates = np.asarray(acc) / total
+    step_sizes = (np.exp(np.asarray(log_eps_bar)) if adapt_step_size
+                  else np.full(num_chains, step_size))
+    info = {
+        "accept_rates": accept_rates,
+        "step_sizes": step_sizes,
+        "final_log_probs": np.asarray(lpf),
+        "rhat": np.asarray(potential_scale_reduction(samples)),
+    }
+    return samples, accept_rates, rebuild, info

@@ -243,3 +243,45 @@ def test_trainable_mask_buffers_false():
     assert found_data == 2
     # at least the kernel/likelihood/q params are trainable
     assert sum(bool(t) for t in flat_k) >= 5
+
+
+def test_hmc_multichain_gaussian_target_and_rhat():
+    """vmap'd multi-chain HMC: each chain recovers the Gaussian target
+    moments, per-chain dual averaging adapts, and split-R-hat ~ 1
+    (chains mix over the same distribution)."""
+    from doubly_stochastic_dgp_tpu.training.hmc import hmc_sample_chains
+
+    c = jnp.asarray(np.array([1.0, -2.0, 0.5]))
+    model = _Quad(v=Param.create(np.zeros(3)))
+
+    def logp(m):
+        return -0.5 * jnp.sum((m.v.value - c) ** 2)
+
+    samples, accs, rebuild, info = hmc_sample_chains(
+        model, logp, jax.random.PRNGKey(0), num_chains=4,
+        num_samples=1500, num_burn=300, step_size=0.3, num_leapfrog=8,
+        init_jitter=1.0)
+    assert samples.shape == (4, 1500, 3)
+    assert np.all(accs > 0.4) and np.all(accs <= 1.0)
+    pooled = np.asarray(samples).reshape(-1, 3)
+    assert_allclose(pooled.mean(0), np.asarray(c), atol=0.15)
+    assert_allclose(pooled.std(0), np.ones(3), atol=0.2)
+    assert info["rhat"].shape == (3,)
+    assert np.all(info["rhat"] < 1.1), info["rhat"]
+    assert np.all(info["step_sizes"] > 0)
+    # rebuild maps a position back to a model
+    m_last = rebuild(samples[0, -1])
+    assert m_last.v.value.shape == (3,)
+
+
+def test_rhat_detects_nonmixed_chains():
+    from doubly_stochastic_dgp_tpu.training.hmc import (
+        potential_scale_reduction)
+
+    rng = np.random.RandomState(0)
+    good = rng.randn(4, 400, 2)
+    bad = good + np.arange(4)[:, None, None] * 5.0  # separated chains
+    r_good = np.asarray(potential_scale_reduction(jnp.asarray(good)))
+    r_bad = np.asarray(potential_scale_reduction(jnp.asarray(bad)))
+    assert np.all(r_good < 1.05)
+    assert np.all(r_bad > 2.0)
