@@ -38,8 +38,8 @@ except ImportError:  # older jax
 from .mesh import pad_to_multiple
 
 __all__ = ["dp_elbo", "make_dp_train_step", "make_dp_scan_train_step",
-           "make_dp_natgrad_adam_step", "dp_predict_y", "sp_elbo",
-           "make_dp_sp_scan_train_step"]
+           "make_dp_natgrad_adam_step", "dp_predict_y",
+           "dp_predict_density", "sp_elbo", "make_dp_sp_scan_train_step"]
 
 
 def _kl_sum(model):
@@ -433,3 +433,34 @@ def dp_predict_y(model, Xnew, S: int, key, mesh: Mesh,
         return m_mean, second - m_mean ** 2
 
     return _run(model, Xnew, key)
+
+
+def dp_predict_density(model, Xnew, Ynew, S: int, key, mesh: Mesh,
+                       axis: str = "data"):
+    """MC mixture predictive log-density (reference dgp.py:121-126, the
+    test-NLL path at run_regression.py:111 with S=100) with the sample
+    axis sharded: each device draws S/n_dev samples, reduces its local
+    logsumexp, and the device partials combine with one small
+    all_gather + logsumexp — exactly
+    ``logsumexp(all S densities) - log S``."""
+    n_dev = mesh.shape[axis]
+    assert S % n_dev == 0, f"S={S} must divide over {n_dev} devices"
+    S_local = S // n_dev
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P(), P()),
+             out_specs=P())
+    def _run(model, X, Y, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        Fmean, Fvar = model._predict(X, key=key, full_cov=False,
+                                     S=S_local)
+        l = model.likelihood.predict_density(Fmean, Fvar, Y)
+        # stable cross-device logsumexp: pmax the per-point max, psum
+        # the shifted exponentials (both collectives are replication-
+        # inferable, unlike an all_gather+logsumexp)
+        m_glob = jax.lax.pmax(jnp.max(l, axis=0), axis)        # (N, D)
+        s_loc = jnp.sum(jnp.exp(l - m_glob[None]), axis=0)
+        s_glob = jax.lax.psum(s_loc, axis)
+        log_S = jnp.log(jnp.asarray(S, dtype=l.dtype))
+        return m_glob + jnp.log(s_glob) - log_S
+
+    return _run(model, Xnew, Ynew, key)

@@ -352,3 +352,31 @@ def test_dp_sp_scan_train_step_improves():
                                    jax.random.fold_in(key, i + 1))
     assert np.isfinite(float(loss))
     assert float(loss) < float(loss0)
+
+
+def test_dp_predict_density_matches_device_emulation():
+    """S-sharded predictive density == host emulation with the same
+    per-device keys (exact logsumexp-combine accounting)."""
+    from scipy.special import logsumexp as np_lse
+    from doubly_stochastic_dgp_tpu.parallel.dp import dp_predict_density
+
+    m = _model(N=16, S=3, L=2)
+    mesh = make_mesh()
+    n_dev = 8
+    S = 16
+    key = jax.random.PRNGKey(11)
+    Xs, Ys = m.X_data[:5], m.Y_data[:5]
+
+    got = np.asarray(dp_predict_density(m, Xs, Ys, S, key, mesh))
+
+    S_local = S // n_dev
+    parts = []
+    for di in range(n_dev):
+        kd = jax.random.fold_in(key, di)
+        Fm, Fv = m._predict(Xs, key=kd, full_cov=False, S=S_local)
+        l = m.likelihood.predict_density(Fm, Fv, Ys)
+        parts.append(np.asarray(l))
+    all_l = np.concatenate(parts, axis=0)            # (S, N, D)
+    expected = np_lse(all_l, axis=0) - np.log(S)
+    assert got.shape == expected.shape
+    assert_allclose(got, expected, rtol=1e-10, atol=1e-12)
