@@ -1,6 +1,7 @@
 from . import checkpoint, hmc, loop, monitor, natgrad, optim
 from .checkpoint import restore_checkpoint, save_checkpoint
-from .hmc import (hmc_sample, hmc_sample_chains,
+from .hmc import (effective_sample_size, hmc_sample,
+                  hmc_sample_chains,
                   potential_scale_reduction)
 from .loop import evaluate_regression, fit, make_natgrad_adam_step, make_sgd_train_step
 from .monitor import JsonlLogger, PrintTimings

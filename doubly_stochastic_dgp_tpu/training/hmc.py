@@ -22,7 +22,7 @@ import numpy as np
 from .optim import partition_trainable
 
 __all__ = ["hmc_sample", "hmc_sample_chains", "potential_scale_reduction",
-           "HMCInfo"]
+           "effective_sample_size", "HMCInfo"]
 
 
 class HMCInfo(NamedTuple):
@@ -163,6 +163,49 @@ def potential_scale_reduction(samples):
     return jnp.sqrt(var_plus / jnp.maximum(W, 1e-300))
 
 
+def effective_sample_size(samples):
+    """Combined-chain effective sample size per parameter (Vehtari et
+    al. 2021) from ``samples`` (C, S, P) — host-side numpy (a
+    diagnostic, not hot-path).  Per-chain autocovariances via FFT, the
+    combined autocorrelation ``rho_t = 1 - (W - mean_c acov_{c,t}) /
+    var_plus``, and Geyer's initial monotone positive sequence
+    truncation.  iid samples give ESS ~ C*S; sticky chains much less."""
+    x = np.asarray(samples, dtype=np.float64)
+    C, S, P = x.shape
+    xc = x - x.mean(axis=1, keepdims=True)
+    # FFT autocovariance per chain/param: (C, S, P), biased (1/S) norm
+    nfft = 1 << (2 * S - 1).bit_length()
+    f = np.fft.rfft(xc, n=nfft, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=1)[:, :S, :] / S
+    W = np.mean(acov[:, 0, :] * S / (S - 1), axis=0)        # (P,)
+    mean_acov = np.mean(acov, axis=0)                       # (S, P)
+    B_over_n = np.var(x.mean(axis=1), axis=0, ddof=1) if C > 1 \
+        else np.zeros(P)
+    var_plus = (S - 1) / S * W + B_over_n                   # (P,)
+    ess = np.empty(P)
+    for p in range(P):
+        if var_plus[p] <= 0:
+            ess[p] = C * S
+            continue
+        rho = 1.0 - (W[p] - mean_acov[:, p]) / var_plus[p]  # (S,)
+        # Geyer: pair sums P_k = rho_{2k} + rho_{2k+1} starting at
+        # (rho_0 + rho_1); keep while positive, enforce monotone
+        # nonincreasing; tau = -1 + 2 * sum_k P_k
+        prev = np.inf
+        acc = 0.0
+        for k in range((S + 1) // 2):
+            t0, t1 = 2 * k, 2 * k + 1
+            pair = rho[t0] + (rho[t1] if t1 < S else 0.0)
+            if pair < 0:
+                break
+            pair = min(pair, prev)
+            prev = pair
+            acc += pair
+        tau = max(-1.0 + 2.0 * acc, 1e-12)
+        ess[p] = C * S / tau
+    return ess
+
+
 def hmc_sample_chains(model, log_prob_fn: Callable, key,
                       num_chains: int = 4, num_samples: int = 100,
                       num_burn: int = 100, step_size: float = 0.01,
@@ -213,5 +256,6 @@ def hmc_sample_chains(model, log_prob_fn: Callable, key,
         "step_sizes": step_sizes,
         "final_log_probs": np.asarray(lpf),
         "rhat": np.asarray(potential_scale_reduction(samples)),
+        "ess": effective_sample_size(samples),
     }
     return samples, accept_rates, rebuild, info

@@ -285,3 +285,28 @@ def test_rhat_detects_nonmixed_chains():
     r_bad = np.asarray(potential_scale_reduction(jnp.asarray(bad)))
     assert np.all(r_good < 1.05)
     assert np.all(r_bad > 2.0)
+
+
+def test_effective_sample_size_iid_and_ar1():
+    """ESS ~ C*S for iid chains; ~ S_total*(1-phi)/(1+phi) for AR(1)
+    (integrated autocorrelation time (1+phi)/(1-phi))."""
+    from doubly_stochastic_dgp_tpu.training.hmc import (
+        effective_sample_size)
+
+    rng = np.random.RandomState(0)
+    C, S = 4, 2000
+    iid = rng.randn(C, S, 2)
+    ess_iid = effective_sample_size(iid)
+    assert ess_iid.shape == (2,)
+    assert np.all(ess_iid > 0.7 * C * S), ess_iid
+    assert np.all(ess_iid < 1.5 * C * S), ess_iid
+
+    phi = 0.9
+    ar = np.zeros((C, S, 1))
+    e = rng.randn(C, S)
+    for t in range(1, S):
+        ar[:, t, 0] = phi * ar[:, t - 1, 0] + e[:, t]
+    ess_ar = effective_sample_size(ar)
+    expect = C * S * (1 - phi) / (1 + phi)   # ~421
+    assert 0.4 * expect < ess_ar[0] < 2.5 * expect, (ess_ar, expect)
+    assert ess_ar[0] < 0.2 * C * S
