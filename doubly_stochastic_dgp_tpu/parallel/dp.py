@@ -39,7 +39,8 @@ from .mesh import pad_to_multiple
 
 __all__ = ["dp_elbo", "make_dp_train_step", "make_dp_scan_train_step",
            "make_dp_natgrad_adam_step", "dp_predict_y",
-           "dp_predict_density", "sp_elbo", "make_dp_sp_scan_train_step"]
+           "dp_predict_density", "dp_evaluate_regression", "sp_elbo",
+           "make_dp_sp_scan_train_step"]
 
 
 def _kl_sum(model):
@@ -276,6 +277,55 @@ def make_dp_natgrad_adam_step(adam_tx: optax.GradientTransformation,
         return model, opt_state, loss
 
     return step
+
+
+def dp_evaluate_regression(model, Xs, Ys, Y_std, S: int, key,
+                           mesh: Mesh, axis: str = "data"):
+    """Test RMSE / NLL / loglik with the reference harness's exact
+    definitions (run_regression.py:109-123) with the test rows sharded
+    over the mesh: each device predicts its own rows (full S sample
+    mixture locally — rows are independent) and three psum'd masked
+    partial sums produce the global metrics.  Replaces the host-chunked
+    `training.loop.evaluate_regression` at multi-chip scale."""
+    n_dev = mesh.shape[axis]
+    n_real = Xs.shape[0]
+    Xs = jnp.asarray(Xs)
+    Ys = jnp.asarray(Ys)
+    if n_real % n_dev != 0:
+        Xs, _ = pad_to_multiple(Xs, n_dev)
+        Ys, _ = pad_to_multiple(Ys, n_dev)
+    mask = (jnp.arange(Xs.shape[0]) < n_real).astype(Xs.dtype)
+    Y_std = jnp.asarray(Y_std, dtype=Xs.dtype)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(axis), P(axis), P(axis), P()),
+             out_specs=(P(), P(), P()))
+    def _run(model, X_l, Y_l, mask_l, key):
+        # evaluate per device, then drop padded rows via the mask
+        keyd = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        mean_SND, var_SND = model.predict_y(X_l, S=S, key=keyd)
+        if mean_SND.ndim == 2:
+            mean_SND, var_SND = mean_SND[None], var_SND[None]
+        mean_ND = jnp.mean(mean_SND, axis=0)
+        sse_rows = jnp.sum(mask_l[:, None] * (Y_l - mean_ND) ** 2)
+        ys = Y_l[None] * Y_std
+        mu = mean_SND * Y_std
+        sd = jnp.sqrt(var_SND) * Y_std
+        logp = (-0.5 * ((ys - mu) / sd) ** 2 - jnp.log(sd)
+                - 0.5 * jnp.log(2 * jnp.pi))
+        S_eff = jnp.asarray(mean_SND.shape[0], dtype=logp.dtype)
+        loglik_ND = (jax.scipy.special.logsumexp(logp, axis=0)
+                     - jnp.log(S_eff))
+        ll_rows = jnp.sum(mask_l[:, None] * loglik_ND)
+        n_rows = jnp.sum(mask_l) * Y_l.shape[1]
+        return (jax.lax.psum(sse_rows, axis),
+                jax.lax.psum(ll_rows, axis),
+                jax.lax.psum(n_rows, axis))
+
+    sse, ll, n = _run(model, Xs, Ys, mask, key)
+    rmse = float(jnp.mean(Y_std) * jnp.sqrt(sse / n))
+    loglik = float(ll / n)
+    return {"rmse": rmse, "nll": -loglik, "loglik": loglik}
 
 
 def sp_elbo(model, X, Y, key, mesh: Mesh, axis: str = "sample",

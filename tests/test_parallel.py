@@ -380,3 +380,48 @@ def test_dp_predict_density_matches_device_emulation():
     expected = np_lse(all_l, axis=0) - np.log(S)
     assert got.shape == expected.shape
     assert_allclose(got, expected, rtol=1e-10, atol=1e-12)
+
+
+def test_dp_evaluate_regression_matches_device_emulation():
+    """Row-sharded test metrics == host emulation with the same
+    per-device keys and the reference's exact formulas — including a
+    non-divisible row count (padded rows masked out)."""
+    from scipy.special import logsumexp as np_lse
+    from scipy.stats import norm
+    from doubly_stochastic_dgp_tpu.parallel.dp import (
+        dp_evaluate_regression)
+
+    m = _model(N=16, S=2, L=2)
+    mesh = make_mesh()
+    n_dev = 8
+    S = 4
+    n_test = 13          # not divisible by 8 -> pads to 16
+    Xs = np.asarray(m.X_data[:n_test])
+    Ys = np.asarray(m.Y_data[:n_test])
+    Y_std = 1.7
+    key = jax.random.PRNGKey(5)
+
+    got = dp_evaluate_regression(m, Xs, Ys, Y_std, S, key, mesh)
+
+    # emulation: same padding, same per-device keys
+    Xp = np.concatenate([Xs, np.repeat(Xs[-1:], 3, 0)], 0)
+    Yp = np.concatenate([Ys, np.repeat(Ys[-1:], 3, 0)], 0)
+    n_l = Xp.shape[0] // n_dev
+    means, vars_ = [], []
+    for di in range(n_dev):
+        kd = jax.random.fold_in(key, di)
+        mu, v = m.predict_y(jnp.asarray(Xp[di * n_l:(di + 1) * n_l]),
+                            S=S, key=kd)
+        means.append(np.asarray(mu))
+        vars_.append(np.asarray(v))
+    mean_SND = np.concatenate(means, 1)[:, :n_test]
+    var_SND = np.concatenate(vars_, 1)[:, :n_test]
+    mean_ND = np.mean(mean_SND, 0)
+    rmse = np.mean(Y_std) * np.sqrt(np.mean((Ys - mean_ND) ** 2))
+    loglik_ND = np_lse(
+        norm.logpdf(Ys * Y_std, mean_SND * Y_std,
+                    np.sqrt(var_SND) * Y_std), 0, b=1.0 / S)
+    loglik = np.mean(loglik_ND)
+    assert_allclose(got["rmse"], rmse, rtol=1e-9)
+    assert_allclose(got["loglik"], loglik, rtol=1e-9)
+    assert_allclose(got["nll"], -loglik, rtol=1e-9)
