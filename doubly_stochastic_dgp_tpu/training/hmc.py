@@ -182,28 +182,21 @@ def effective_sample_size(samples):
     B_over_n = np.var(x.mean(axis=1), axis=0, ddof=1) if C > 1 \
         else np.zeros(P)
     var_plus = (S - 1) / S * W + B_over_n                   # (P,)
-    ess = np.empty(P)
-    for p in range(P):
-        if var_plus[p] <= 0:
-            ess[p] = C * S
-            continue
-        rho = 1.0 - (W[p] - mean_acov[:, p]) / var_plus[p]  # (S,)
-        # Geyer: pair sums P_k = rho_{2k} + rho_{2k+1} starting at
-        # (rho_0 + rho_1); keep while positive, enforce monotone
-        # nonincreasing; tau = -1 + 2 * sum_k P_k
-        prev = np.inf
-        acc = 0.0
-        for k in range((S + 1) // 2):
-            t0, t1 = 2 * k, 2 * k + 1
-            pair = rho[t0] + (rho[t1] if t1 < S else 0.0)
-            if pair < 0:
-                break
-            pair = min(pair, prev)
-            prev = pair
-            acc += pair
-        tau = max(-1.0 + 2.0 * acc, 1e-12)
-        ess[p] = C * S / tau
-    return ess
+    ok = var_plus > 0
+    vp = np.where(ok, var_plus, 1.0)
+    rho = 1.0 - (W[None, :] - mean_acov) / vp[None, :]      # (S, P)
+    # Geyer, vectorized over P: pair sums P_k = rho_{2k} + rho_{2k+1}
+    # starting at (rho_0 + rho_1); keep while positive (cumulative
+    # mask on the raw pairs), enforce monotone nonincreasing
+    # (cumulative min); tau = -1 + 2 * sum_k P_k
+    if S % 2 == 1:
+        rho = np.concatenate([rho, np.zeros((1, P))], axis=0)
+    pairs = rho[0::2, :] + rho[1::2, :]                     # (K, P)
+    keep = np.cumprod(pairs >= 0, axis=0).astype(bool)
+    pairs_mono = np.minimum.accumulate(pairs, axis=0)
+    acc = np.sum(np.where(keep, pairs_mono, 0.0), axis=0)   # (P,)
+    tau = np.maximum(-1.0 + 2.0 * acc, 1e-12)
+    return np.where(ok, C * S / tau, float(C * S))
 
 
 def hmc_sample_chains(model, log_prob_fn: Callable, key,
