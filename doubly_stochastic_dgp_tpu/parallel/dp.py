@@ -345,7 +345,7 @@ def sp_elbo(model, X, Y, key, mesh: Mesh, axis: str = "sample",
     B = batch_size or X.shape[0]
     scale_num = model.num_data
 
-    def _bound(model, X, Y, ve_s):
+    def _bound(model, ve_s):
         # ve_s: (S_local, n, D) per-sample variational expectations
         ve = jax.lax.pmean(jnp.mean(ve_s, axis=0), axis)    # (n, D)
         total = jnp.sum(ve)
@@ -362,7 +362,7 @@ def sp_elbo(model, X, Y, key, mesh: Mesh, axis: str = "sample",
                                                S=zs[0].shape[0])
             ve_s = model.likelihood.variational_expectations(
                 Fmeans[-1], Fvars[-1], Y)
-            return _bound(model, X, Y, ve_s)
+            return _bound(model, ve_s)
 
         return _run_zs(model, X, Y, list(zs))
 
@@ -379,7 +379,7 @@ def sp_elbo(model, X, Y, key, mesh: Mesh, axis: str = "sample",
         Fmean, Fvar = model._predict(X, key=key, full_cov=False,
                                      S=S_local)
         ve_s = model.likelihood.variational_expectations(Fmean, Fvar, Y)
-        return _bound(model, X, Y, ve_s)
+        return _bound(model, ve_s)
 
     return _run(model, X, Y, key)
 
