@@ -101,6 +101,9 @@ def main():
         res = evaluate_regression(model, Xs, Ys, Y_std, S=100)
         res.update(label=label, seconds=round(dt, 1),
                    final_loss=round(float(loss), 2))
+        # stream each model's result as it completes (long f64 CPU runs
+        # can be killed mid-way; the finished models' numbers survive)
+        print(json.dumps(res, default=float), flush=True)
         return res
 
     results = []
