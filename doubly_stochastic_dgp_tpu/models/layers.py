@@ -427,7 +427,10 @@ class GPMCLayer(Layer):
             var = self.kern.K(Xnew) - A.T @ A                  # (B, B)
             var = jnp.repeat(var[:, :, None], self.num_outputs, axis=2)
         else:
-            var = self.kern.Kdiag(Xnew) - jnp.sum(A ** 2, axis=0)
+            # clamp f32 cancellation noise (Kdiag ~ ||A||^2) at zero,
+            # same safety net as the SVGP conditional
+            var = jnp.maximum(
+                self.kern.Kdiag(Xnew) - jnp.sum(A ** 2, axis=0), 0.0)
             var = jnp.repeat(var[:, None], self.num_outputs, axis=1)
         return mean, var
 
@@ -493,7 +496,9 @@ class GPRLayer(CollapsedLayer):
             fvar = self.kern.K(Xnew) - A.T @ A
             fvar = jnp.repeat(fvar[:, :, None], D_Y, axis=2)
         else:
-            fvar = self.kern.Kdiag(Xnew) - jnp.sum(A ** 2, axis=0)
+            # clamp f32 cancellation noise at zero (SVGP-path policy)
+            fvar = jnp.maximum(
+                self.kern.Kdiag(Xnew) - jnp.sum(A ** 2, axis=0), 0.0)
             fvar = jnp.repeat(fvar[:, None], D_Y, axis=1)
         return fmean, fvar
 
@@ -653,7 +658,9 @@ class SGPRLayer(CollapsedLayer):
             var = self.kern.K(Xnew) + tmp2.T @ tmp2 - tmp1.T @ tmp1
             var = jnp.repeat(var[:, :, None], D_Y, axis=2)
         else:
-            var = (self.kern.Kdiag(Xnew) + jnp.sum(tmp2 ** 2, axis=0)
-                   - jnp.sum(tmp1 ** 2, axis=0))
+            # clamp f32 cancellation noise at zero (SVGP-path policy)
+            var = jnp.maximum(
+                self.kern.Kdiag(Xnew) + jnp.sum(tmp2 ** 2, axis=0)
+                - jnp.sum(tmp1 ** 2, axis=0), 0.0)
             var = jnp.repeat(var[:, None], D_Y, axis=1)
         return mean + self.mean_function(Xnew), var

@@ -78,7 +78,7 @@ def safe_cholesky(K, jitter=None):
     return jnp.linalg.cholesky(K + sel * I)
 
 
-def safe_cholesky_ladder(K, jitters=(0.0, 1e-7, 1e-5, 1e-3)):
+def safe_cholesky_ladder(K, jitters=(0.0, 1e-7, 1e-5, 1e-3, 1e-1, 1.0)):
     """Grad-safe Cholesky with a *relative* jitter ladder.
 
     For matrices that are PSD *by construction* (e.g. the Titsias
@@ -91,7 +91,14 @@ def safe_cholesky_ladder(K, jitters=(0.0, 1e-7, 1e-5, 1e-3)):
     learned small, and f32 rounding garbage grows with them — an
     absolute ladder tops out).  Rung selection uses stop-gradient probe
     factorizations and the live K is factorized exactly once (same
-    grad-safety argument as :func:`safe_cholesky`)."""
+    grad-safety argument as :func:`safe_cholesky`).
+
+    The deep top rungs (1e-1, 1.0) are the NaN net for the collapsed
+    bound's B = AAT + I: jitter on B only grows log|B| (and shrinks
+    ||c||^2), which *lowers* the bound — the conservative, valid side —
+    so a large rung beats a NaN whenever f32 garbage in AAT exceeds the
+    polite jitters (measured: an indefinite psi2 at bf16-class matmul
+    precision reached eigenvalue -1e4 in B; see psi_statistics)."""
     M = K.shape[-1]
     I = jnp.eye(M, dtype=K.dtype)
     Kp = jax.lax.stop_gradient(K)

@@ -200,7 +200,20 @@ def psi_statistics(kern, mu, S, Z):
 
     White contributes its variance to psi0 only (its cross-covariance is
     zero, so psi1/psi2 cross terms vanish in expectation).
+
+    All contractions run at HIGHEST matmul precision: on TPU the
+    default bf16-class einsums corrupt the quadratic forms enough to
+    make the computed psi2 *indefinite* (measured at trained-model
+    scale: entrywise error 0.6 and min eigenvalue -1.2 at default vs
+    2.6e-2 / -1.5e-5 at highest, against a float64 oracle), and an
+    indefinite psi2 NaNs the collapsed bound's chol(B) beyond any
+    jitter.  The psi contractions are a negligible share of step flops.
     """
+    with jax.default_matmul_precision("highest"):
+        return _psi_statistics_impl(kern, mu, S, Z)
+
+
+def _psi_statistics_impl(kern, mu, S, Z):
     if isinstance(kern, RBF):
         return _rbf_psi(kern, mu, S, Z)
     if isinstance(kern, Linear):

@@ -100,11 +100,15 @@ def _layer_moments(layer, mu, sv, T):
 
 def _assemble(layer, P2, P1T, sigma2):
     """Stage 2 (replicated): the small collapsed algebra.  Returns
-    (L, LB, c, tr_AAT) with AAT in PSD Gram form."""
+    (L, LB, c, tr_AAT).  AAT uses the same symmetrized two-solve form
+    as SGPRLayer._common (NOT a chol(P2) Gram: P2 can be singular, and
+    jitter on P2 leaks ~eps*tr(Kuu^{-1})/sigma^2 into the trace term,
+    invalidly *raising* the bound; jitter on B below only lowers it —
+    the safe side)."""
     L = safe_cholesky(layer.kern.K(layer.Z.value), layer.jitter)
-    R = safe_cholesky_ladder(P2)
-    tmp = tri_solve(L, R, lower=True, mode=layer.solve_mode)
-    AAT = (tmp @ tmp.T) / sigma2
+    tmp = tri_solve(L, P2, lower=True, mode=layer.solve_mode)
+    AAT = tri_solve(L, tmp.T, lower=True, mode=layer.solve_mode) / sigma2
+    AAT = 0.5 * (AAT + AAT.T)
     M = P2.shape[0]
     B = AAT + jnp.eye(M, dtype=P2.dtype)
     LB = safe_cholesky_ladder(B)

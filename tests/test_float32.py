@@ -193,3 +193,102 @@ def test_collapsed_bound_variance_floor_f32():
     assert bound("float32", 4e-4) != bound("float32", floor)
     # f64: no clamp — the bound keeps moving below the floor
     assert abs(bound("float64", 1e-6) - bound("float64", floor)) > 1.0
+
+
+def test_cholesky_ladder_deep_rungs_absorb_large_deficit():
+    """The collapsed bound's B = AAT + I can carry f32 garbage with
+    eigenvalue deficits far beyond polite jitters (measured -1e4 from a
+    bf16-corrupted psi2 before the psi-precision fix).  The ladder's
+    deep relative rungs must produce a FINITE factor (jitter on B only
+    lowers the bound - the valid side), where the old 1e-3 top rung
+    NaN'd."""
+    import numpy as np
+    import jax.numpy as jnp
+    from doubly_stochastic_dgp_tpu.ops.linalg import safe_cholesky_ladder
+
+    rng = np.random.RandomState(0)
+    M = 20
+    Q, _ = np.linalg.qr(rng.randn(M, M))
+    # scale ~ mean diag 100; one eigenvalue at -0.4*scale (deficit 40)
+    evals = np.full(M, 100.0)
+    evals[0] = -40.0
+    B = (Q * evals) @ Q.T
+    B = 0.5 * (B + B.T)
+    # old ladder top rung: 1e-3 * scale ~ 0.1 << 40 -> NaN
+    L_old = safe_cholesky_ladder(jnp.asarray(B),
+                                 jitters=(0.0, 1e-7, 1e-5, 1e-3))
+    assert not bool(jnp.all(jnp.isfinite(L_old)))
+    L_new = safe_cholesky_ladder(jnp.asarray(B))
+    assert bool(jnp.all(jnp.isfinite(L_new)))
+
+
+def test_collapsed_conditional_variances_nonnegative_near_degenerate():
+    """GPR/SGPR/GPMC conditional diag variances must clamp f32
+    cancellation noise at zero (Kdiag ~ ||A||^2 when predicting at the
+    training/inducing inputs): a negative variance NaNs the predictive
+    log-density downstream (measured on TPU at 3k-iter Damianou)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import doubly_stochastic_dgp_tpu as dsd
+    from doubly_stochastic_dgp_tpu.models.layers import (GPMCLayer,
+                                                         GPRLayer,
+                                                         SGPRLayer)
+    from doubly_stochastic_dgp_tpu.models.mean_functions import Zero
+
+    rng = np.random.RandomState(0)
+    N, D = 20, 2
+    X = rng.randn(N, D).astype("float32")
+    Y = rng.randn(N, 1).astype("float32")
+
+    gpr = GPRLayer.make(dsd.RBF.make(D), Zero(output_dim=1), 1)
+    gpr = gpr.set_data(jnp.asarray(X), None, jnp.asarray(Y),
+                       jnp.asarray(1e-4, jnp.float32))
+    _, v = gpr.conditional_ND(jnp.asarray(X))
+    assert bool(jnp.all(v >= 0.0)) and bool(jnp.all(jnp.isfinite(v)))
+
+    sgpr = SGPRLayer.make(dsd.RBF.make(D), X.copy(), 1,
+                          Zero(output_dim=1))
+    sgpr = sgpr.set_data(jnp.asarray(X), None, jnp.asarray(Y),
+                         jnp.asarray(1e-4, jnp.float32))
+    _, v = sgpr.conditional_ND(jnp.asarray(X))
+    assert bool(jnp.all(v >= 0.0)) and bool(jnp.all(jnp.isfinite(v)))
+
+    gpmc = GPMCLayer.make(dsd.RBF.make(D), X.copy(), 1, Zero(output_dim=1))
+    _, v = gpmc.conditional_ND(jnp.asarray(X))
+    assert bool(jnp.all(v >= 0.0)) and bool(jnp.all(jnp.isfinite(v)))
+
+
+def test_psi_statistics_forces_highest_matmul_precision():
+    """Structural: every dot_general inside psi_statistics must carry
+    HIGHEST precision — on TPU the default bf16-class contractions make
+    the computed psi2 indefinite at scale (measured eig -1.2), NaN-ing
+    chol(B) beyond any jitter.  CPU tests cannot reproduce bf16, so the
+    jaxpr is the testable contract."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import doubly_stochastic_dgp_tpu as dsd
+    from doubly_stochastic_dgp_tpu.ops.psi_stats import psi_statistics
+
+    rng = np.random.RandomState(0)
+    N, D, M = 6, 2, 4
+    kern = (dsd.RBF.make(D) + dsd.LinearKernel.make(D)
+            + dsd.White.make(D, variance=1e-3))
+    jaxpr = jax.make_jaxpr(
+        lambda mu, S, Z: psi_statistics(kern, mu, S, Z))(
+        jnp.asarray(rng.randn(N, D)), jnp.ones((N, D)) * 0.1,
+        jnp.asarray(rng.randn(M, D)))
+
+    def walk(jpr, found):
+        for eqn in jpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                found.append(str(eqn.params.get("precision")))
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):   # closed jaxpr (scan body etc.)
+                    walk(v.jaxpr, found)
+        return found
+
+    precisions = walk(jaxpr.jaxpr, [])
+    assert precisions, "expected dot_general ops in psi_statistics"
+    for p in precisions:
+        assert "HIGHEST" in p, precisions
