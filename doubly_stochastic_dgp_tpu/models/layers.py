@@ -264,21 +264,30 @@ class SVGPLayer(Layer):
         SK = self._SK(Ku)
 
         if self.solve_mode == "inverse" and not full_cov:
+            # Staged inverse: apply Lu^{-1} one triangular factor at a
+            # time (G = Li Kuf, W~ = Li SK Li^T) instead of forming
+            # P = Ku^{-1} and W = P SK P.  Mathematically identical,
+            # but the explicit P carries cond(Ku)^2 dynamic range in
+            # one object — measured: a 1-D RBF layer (near-collinear
+            # Z => cond(Ku) ~ 1e7) silently *diverged* in f32 inverse
+            # mode with the P-form while 'solve' and float64 converged;
+            # the staged form keeps intermediates at cond(Lu) scale and
+            # tracks 'solve' closely.  All ops remain MXU matmuls.
             Li = inv_lower(Lu)                                 # (M, M)
+            G = Li @ Kuf                                       # (M, B)
             if self.white:
-                # A = Lu^{-1} Kuf: alpha = Li^T q_mu-projection
-                P = Li                                         # A = P Kuf
+                alpha = self.q_mu.value                        # (M, D)
+                W = SK                                         # (D|1,M,M)
             else:
-                P = Li.T @ Li                                  # Ku^{-1}
-            alpha = P.T @ self.q_mu.value                      # (M, D)
-            W = jnp.einsum("ij,djk,lk->dil", P.T, SK, P.T)     # (D, M, M)
-            mean = Kuf.T @ alpha                               # (B, D)
+                alpha = Li @ self.q_mu.value                   # (M, D)
+                W = jnp.einsum("ij,djk,lk->dil", Li, SK, Li)   # (D, M, M)
+            mean = G.T @ alpha                                 # (B, D)
             # flatten the D_out batch into one (D*M, M) @ (M, B) matmul:
             # one large MXU op instead of D small batched ones
             D_, M_, _ = W.shape
-            T = (W.reshape(D_ * M_, M_) @ Kuf).reshape(
-                D_, M_, Kuf.shape[1])                          # (D, M, B)
-            delta_cov = jnp.einsum("ib,dib->db", Kuf, T)       # (D, B)
+            T = (W.reshape(D_ * M_, M_) @ G).reshape(
+                D_, M_, G.shape[1])                            # (D, M, B)
+            delta_cov = jnp.einsum("ib,dib->db", G, T)         # (D, B)
             Kff = self.kern.Kdiag(X)
             var = jnp.maximum((Kff[None] + delta_cov).T, 0.0)  # (B, D)
             return mean + self.mean_function(X), var
