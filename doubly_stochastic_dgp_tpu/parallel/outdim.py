@@ -247,6 +247,103 @@ def make_2d_train_step(tx: optax.GradientTransformation, mesh: Mesh,
     return step
 
 
+def elbo_3d(model, X, Y, key, mesh: Mesh, data_axis: str = "data",
+            sample_axis: str = "sample", dim_axis: str = "dim",
+            batch_size: Optional[int] = None, zs=None):
+    """ELBO over the FULL 3-D mesh — every parallelism axis this model
+    family has (SURVEY §2.4), composed: minibatch rows shard over
+    ``data_axis`` (dp), the S MC samples over ``sample_axis`` (each
+    sample-group device propagates S/n_samp decorrelated samples), and
+    every layer's latent dims over ``dim_axis`` (tp; one per-layer
+    all_gather over ICI).  The likelihood term pmean's over sample
+    groups and psums over rows and dims; the KL psums over dims and is
+    counted once across data/sample replicas.
+
+    With explicit ``zs`` (each (S, 1|N, D_l), sharded over
+    (sample, -, dim)) the value equals the single-device bound exactly.
+    """
+    assert isinstance(model.likelihood, Gaussian), \
+        "output-dim sharding requires a factorizing (Gaussian) likelihood"
+    n_dim = mesh.shape[dim_axis]
+    n_samp = mesh.shape[sample_axis]
+    B = batch_size or X.shape[0]
+    specs = outdim_specs(model, dim_axis)
+    zs_specs = (None if zs is None
+                else [P(sample_axis, None, dim_axis) for _ in zs])
+    if zs is None:
+        assert model.num_samples % n_samp == 0, (
+            f"num_samples={model.num_samples} must divide the "
+            f"'{sample_axis}' axis ({n_samp})")
+    S_local = model.num_samples // n_samp if zs is None else None
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(specs, P(data_axis), P(data_axis, dim_axis), P(),
+                       zs_specs),
+             out_specs=P())
+    def run(model, X_l, Y_l, key, zs_l):
+        m = _localize(model, n_dim, dim_axis)
+        ddev = jax.lax.axis_index(dim_axis)
+        bdev = jax.lax.axis_index(data_axis)
+        sdev = jax.lax.axis_index(sample_axis)
+        S_l = zs_l[0].shape[0] if zs_l is not None else S_local
+        F = jnp.tile(X_l[None, :, :], (S_l, 1, 1))
+        if key is not None:
+            kroot = jax.random.fold_in(jax.random.fold_in(key, bdev),
+                                       sdev)
+            keys = jax.random.split(kroot, len(m.layers))
+        else:
+            keys = [None] * len(m.layers)
+        for li, layer in enumerate(m.layers):
+            mean, var = layer.conditional_SND(F)        # local dims
+            if zs_l is not None:
+                z = jnp.broadcast_to(zs_l[li], mean.shape)
+            else:
+                z = jax.random.normal(
+                    jax.random.fold_in(keys[li], ddev), mean.shape,
+                    dtype=mean.dtype)
+            F_local = reparameterize(mean, var, z, jitter=layer.jitter)
+            if li < len(m.layers) - 1:
+                F = jax.lax.all_gather(F_local, dim_axis, axis=2,
+                                       tiled=True)
+        ve = m.likelihood.variational_expectations(mean, var, Y_l)
+        like = jnp.sum(jnp.mean(ve, axis=0))
+        # one axis per collective call (mixed varying states are
+        # rejected; see parallel/dp.py): average the equal-size sample
+        # groups, then sum rows and dims
+        like = jax.lax.pmean(like, sample_axis)
+        like = jax.lax.psum(like, data_axis)
+        like = jax.lax.psum(like, dim_axis)
+        KL = jax.lax.psum(
+            sum((l.KL() for l in m.layers),
+                jnp.zeros((), dtype=like.dtype)), dim_axis)
+        scale = jnp.asarray(m.num_data, dtype=like.dtype) / B
+        return like * scale - KL
+
+    return run(model, X, Y, key, zs)
+
+
+def make_3d_train_step(tx: optax.GradientTransformation, mesh: Mesh,
+                       data_axis: str = "data",
+                       sample_axis: str = "sample",
+                       dim_axis: str = "dim",
+                       batch_size: Optional[int] = None):
+    """Jitted train step over the composed (data x sample x dim) mesh."""
+
+    def loss_fn(model, X, Y, key):
+        return -elbo_3d(model, X, Y, key, mesh, data_axis=data_axis,
+                        sample_axis=sample_axis, dim_axis=dim_axis,
+                        batch_size=batch_size)
+
+    @jax.jit
+    def step(model, opt_state, X, Y, key):
+        loss, grads = jax.value_and_grad(loss_fn)(model, X, Y, key)
+        updates, opt_state = tx.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, loss
+
+    return step
+
+
 def make_outdim_train_step(tx: optax.GradientTransformation, mesh: Mesh,
                            axis: str = "dim",
                            batch_size: Optional[int] = None):

@@ -128,3 +128,48 @@ def test_2d_mesh_train_step_improves():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.all(np.isfinite(losses))
+
+
+def test_3d_mesh_elbo_matches_single_device():
+    """Full 3-D (data x sample x dim) mesh, 2x2x2: the triple-sharded
+    ELBO equals the single-device bound exactly (fixed zs sharded over
+    sample and dim; KL counted once)."""
+    from jax.sharding import Mesh
+    from doubly_stochastic_dgp_tpu.parallel.outdim import elbo_3d
+
+    m = _model(N=16, D=4, D_Y=4, S=4)
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("data", "sample", "dim"))
+    S = m.num_samples
+    rng = np.random.RandomState(5)
+    zs = [jnp.asarray(rng.randn(S, 1, l.num_outputs)) for l in m.layers]
+
+    ref = float(_single_device_elbo(m, zs))
+    got = float(elbo_3d(m, m.X_data, m.Y_data, None, mesh, zs=zs))
+    assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_3d_mesh_train_step_improves():
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from doubly_stochastic_dgp_tpu.parallel.outdim import (
+        make_3d_train_step, outdim_specs)
+
+    m = _model(N=16, D=4, D_Y=4, S=4)
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("data", "sample", "dim"))
+    specs = outdim_specs(m, "dim")
+    m = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), m, specs)
+    X = jax.device_put(m.X_data, NamedSharding(mesh, P("data")))
+    Y = jax.device_put(m.Y_data, NamedSharding(mesh, P("data", None)))
+    tx = optax.adam(0.02)
+    st = tx.init(m)
+    step = make_3d_train_step(tx, mesh)
+    losses = []
+    for i in range(12):
+        m, st, loss = step(m, st, X, Y,
+                           jax.random.fold_in(jax.random.PRNGKey(0), i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.all(np.isfinite(losses))
