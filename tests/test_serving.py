@@ -39,3 +39,29 @@ def test_export_roundtrip(tmp_path):
     assert_allclose(np.asarray(var2_srv), np.asarray(var2_live),
                     rtol=1e-6, atol=1e-9)
     assert not np.allclose(np.asarray(var2_srv), np.asarray(var_srv))
+
+
+def test_export_predict_y_damianou_roundtrip():
+    """The export surface must cover the collapsed Damianou model too
+    (prediction propagates through per-layer collapsed posteriors)."""
+    import numpy as np
+    import jax
+    import doubly_stochastic_dgp_tpu as dsd
+    from doubly_stochastic_dgp_tpu.serving import (export_predict_y,
+                                                   load_exported)
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(40, 2)
+    Y = np.sin(X[:, :1]) + 0.05 * rng.randn(40, 1)
+    m = dsd.DGPDamianou.build(X, Y, X[:8].copy(),
+                              [dsd.RBF.make(2), dsd.RBF.make(2)],
+                              dsd.Gaussian.make(0.05))
+    art = export_predict_y(m, batch_size=10, S=4)
+    fn = load_exported(art)
+    mu, v = fn(m, jax.numpy.asarray(X[:10]), jax.random.PRNGKey(0))
+    mu_d, v_d = m.predict_y(jax.numpy.asarray(X[:10]), S=4,
+                            key=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_d),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_d),
+                               rtol=1e-6, atol=1e-8)
