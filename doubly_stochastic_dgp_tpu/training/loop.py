@@ -292,3 +292,88 @@ def evaluate_regression(model, Xs, Ys, Y_std, S: int = 100,
     test_loglik = np.average(test_loglik_ND)
     return {"rmse": float(test_err), "nll": float(-test_loglik),
             "loglik": float(test_loglik)}
+
+
+def fit_dp(model, mesh, iterations: int, learning_rate: float = 0.01,
+           batch_size: Optional[int] = None, seed: int = 0,
+           axis: str = "data", sample_axis: Optional[str] = None,
+           callbacks: Sequence = (), log_every: int = 100,
+           scan_steps: Optional[int] = None,
+           ckpt_dir: Optional[str] = None,
+           ckpt_every: Optional[int] = None):
+    """One-call multi-chip training: :func:`fit` over a device mesh.
+
+    Replicates the parameters, shards the model's stored training set
+    over ``axis``, and drives the scanned data-parallel step
+    (``parallel.dp.make_dp_scan_train_step``); with ``sample_axis``
+    given (a 2-D mesh), the composed data x sample step shards the MC
+    samples too.  Checkpoint/resume and callbacks behave exactly as in
+    :func:`fit`.  Returns (model, history) with the model replicated on
+    the mesh.
+    """
+    from ..parallel.dp import (make_dp_scan_train_step,
+                               make_dp_sp_scan_train_step)
+    from ..parallel.mesh import replicate, shard_along
+
+    n_data = mesh.shape[axis]
+    N = int(model.X_data.shape[0])
+    if N % n_data != 0:
+        raise ValueError(
+            f"training rows N={N} must divide the '{axis}' mesh axis "
+            f"({n_data}); pad or trim the dataset")
+    if scan_steps is None:
+        scan_steps = max(1, min(10, log_every))
+    chunk = max(1, scan_steps)
+
+    tx = masked_optimizer(optax.adam(learning_rate), model)
+    if sample_axis is None:
+        step_fn = make_dp_scan_train_step(tx, mesh, axis=axis,
+                                          batch_size=batch_size,
+                                          inner_steps=chunk)
+    else:
+        step_fn = make_dp_sp_scan_train_step(tx, mesh, data_axis=axis,
+                                             sample_axis=sample_axis,
+                                             batch_size=batch_size,
+                                             inner_steps=chunk)
+
+    X_sh = shard_along(model.X_data, mesh, axis=axis)
+    Y_sh = shard_along(model.Y_data, mesh, axis=axis)
+    model = replicate(model, mesh)
+    opt_state = tx.init(model)
+
+    done = 0
+    if ckpt_dir is not None:
+        from .checkpoint import restore_checkpoint
+        (model, opt_state), resumed = restore_checkpoint(
+            ckpt_dir, (model, opt_state))
+        if resumed is not None:
+            done = int(resumed)
+            model = replicate(model, mesh)
+    ckpt_every = ckpt_every or log_every
+
+    key = jax.random.PRNGKey(seed)
+    history = []
+    t0 = time.perf_counter()
+    last_t, last_i = t0, done
+    call_idx = done // chunk
+    while done < iterations:
+        model, opt_state, loss = step_fn(
+            model, opt_state, X_sh, Y_sh,
+            jax.random.fold_in(key, call_idx))
+        call_idx += 1
+        done += chunk
+        if ckpt_dir is not None and (done % ckpt_every < chunk
+                                     or done >= iterations):
+            from .checkpoint import save_checkpoint
+            save_checkpoint(ckpt_dir, (model, opt_state), done)
+        if done % log_every < chunk or done >= iterations:
+            loss = float(loss)
+            now = time.perf_counter()
+            rate = (done - last_i) / max(now - last_t, 1e-9)
+            last_t, last_i = now, done
+            stats = {"iter": done, "loss": loss, "iters_per_sec": rate,
+                     "elapsed": now - t0}
+            history.append(stats)
+            for cb in callbacks:
+                cb(done, model, loss, stats)
+    return model, history

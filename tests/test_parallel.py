@@ -425,3 +425,36 @@ def test_dp_evaluate_regression_matches_device_emulation():
     assert_allclose(got["rmse"], rmse, rtol=1e-9)
     assert_allclose(got["loglik"], loglik, rtol=1e-9)
     assert_allclose(got["nll"], -loglik, rtol=1e-9)
+
+
+def test_fit_dp_trains_and_resumes(tmp_path):
+    """fit_dp: one-call multi-chip training over the mesh — improves
+    the bound, records history, and checkpoint-resumes."""
+    from doubly_stochastic_dgp_tpu.training.loop import fit_dp
+
+    m = _model(N=32, S=2, L=1)
+    mesh = make_mesh()
+    m2, hist = fit_dp(m, mesh, iterations=30, learning_rate=0.05,
+                      batch_size=16, log_every=10, scan_steps=5)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert all(np.isfinite(h["loss"]) for h in hist)
+
+    # checkpoint/resume: first 10 iters, then resume to 20
+    ck = str(tmp_path / "ck")
+    _, h1 = fit_dp(m, mesh, iterations=10, learning_rate=0.05,
+                   batch_size=16, log_every=5, scan_steps=5,
+                   ckpt_dir=ck)
+    m_res, h2 = fit_dp(m, mesh, iterations=20, learning_rate=0.05,
+                       batch_size=16, log_every=5, scan_steps=5,
+                       ckpt_dir=ck)
+    assert h2[0]["iter"] > 10  # resumed past the first run
+    assert np.isfinite(h2[-1]["loss"])
+
+    # 2-D data x sample variant
+    from jax.sharding import Mesh
+    devs = np.asarray(jax.devices()).reshape(4, 2)
+    mesh2 = Mesh(devs, ("data", "sample"))
+    m3, h3 = fit_dp(_model(N=32, S=2, L=1), mesh2, iterations=15,
+                    learning_rate=0.05, batch_size=16, log_every=5,
+                    scan_steps=5, sample_axis="sample")
+    assert h3[-1]["loss"] < h3[0]["loss"]
