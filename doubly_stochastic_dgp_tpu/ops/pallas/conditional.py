@@ -47,12 +47,16 @@ def _round_up(x, m):
 
 
 def pallas_profitable(M, Do, B):
-    """Measured-win region for the fused conditional on TPU v5e
+    """ISOLATED-probe win region for the fused conditional on TPU v5e
     (PERF.md round 2, best-of-3 timings at B=8192): few-output-dim
-    conditionals at mid/large M (the final layer of a regression DGP) —
-    1.29x at (M=256, Do=1), >=1.04x across M in [128, 1024]; XLA stays
-    ahead for wide-output inner layers (Do=8: 0.82-1.03x) and tiny
-    batches (dispatch-bound).  Used by use_pallas='auto'."""
+    conditionals at mid/large M — 1.29x at (M=256, Do=1), >=1.04x
+    across M in [128, 1024].  NOTE (round 3): end-to-end training
+    measurements show XLA's whole-graph fusion ahead IN-CONTEXT even
+    inside this region (scripts/bench_large_m.py: 0.79-0.96x — the
+    custom-VJP call is a fusion barrier and XLA reuses the gram as a
+    saved residual), which is why ``config.use_pallas`` now defaults to
+    False.  'auto' (this gate) remains available for standalone
+    conditional workloads matching the isolated probes."""
     return Do <= 2 and 128 <= M <= 1024 and B >= 2048
 
 

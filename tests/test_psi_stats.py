@@ -220,3 +220,48 @@ def test_sum_of_two_linears_cross_terms_vs_quadrature():
                           mu, S, Z, H=40)
     assert_allclose(np.asarray(psi1), q1, rtol=1e-8, atol=1e-10)
     assert_allclose(np.asarray(psi2), q2, rtol=1e-7, atol=1e-8)
+
+
+def test_random_sum_compositions_vs_quadrature():
+    """Property-style: random Sum compositions of RBF/Linear/White with
+    random hyperparameters must match the brute-force GH oracle (all
+    pairwise psi2 cross terms, any component order/multiplicity)."""
+    from doubly_stochastic_dgp_tpu.ops.kernels import Linear
+
+    rng = np.random.RandomState(7)
+    N, D, M = 3, 2, 4
+    for trial in range(4):
+        mu = rng.randn(N, D) * 0.5
+        S = 0.05 + rng.rand(N, D) * 0.3
+        Z = rng.randn(M, D)
+        parts, np_rows = [], []
+        n_parts = rng.randint(2, 5)
+        for _ in range(n_parts):
+            kind = rng.choice(["rbf", "lin", "white"])
+            if kind == "rbf":
+                v = 0.3 + rng.rand() * 1.5
+                ls = 0.4 + rng.rand(D) * 1.5
+                parts.append(RBF.make(D, variance=v, lengthscales=ls))
+                np_rows.append(
+                    lambda x, v=v, ls=ls: _np_rbf(x, Z, v, ls))
+            elif kind == "lin":
+                w = 0.2 + rng.rand(D)
+                parts.append(Linear.make(D, variance=w, ard=True))
+                np_rows.append(lambda x, w=w: (x * w) @ Z.T)
+            else:
+                parts.append(White.make(D, variance=0.1 + rng.rand()))
+                np_rows.append(lambda x: np.zeros(M))
+        kern = parts[0]
+        for k in parts[1:]:
+            kern = kern + k
+
+        psi0, psi1, psi2 = psi_statistics(
+            kern, jnp.asarray(mu), jnp.asarray(S), jnp.asarray(Z))
+        q1, q2 = _quad_psi_fn(
+            lambda x: sum(f(x) for f in np_rows), mu, S, Z, H=35)
+        assert_allclose(np.asarray(psi1), q1, rtol=1e-6, atol=1e-8,
+                        err_msg=f"trial {trial}")
+        assert_allclose(np.asarray(psi2), q2, rtol=1e-6, atol=1e-7,
+                        err_msg=f"trial {trial}")
+        assert_allclose(np.asarray(psi2), np.asarray(psi2).T,
+                        rtol=1e-12)
