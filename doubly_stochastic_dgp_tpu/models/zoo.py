@@ -119,6 +119,11 @@ class DGPHeteroscedastic(DGPBase):
     BASELINE.json config #5 (no reference implementation exists — the
     natural DGP extension, kept consistent with the MC bound of
     reference dgp.py:83-98).
+
+    NB ``predict_f`` (inherited) returns the raw final-layer heads —
+    shape (S, N, 2*D): columns [:D] are the mean head f, columns [D:]
+    the pre-softplus log-noise head g.  Use ``predict_y`` /
+    ``predict_density`` for quantities in y-space.
     """
 
     min_noise: float = static_field(default=1e-6)
@@ -160,3 +165,36 @@ class DGPHeteroscedastic(DGPBase):
         noise = ndiagquad(
             lambda G: jax.nn.softplus(G) + self.min_noise, 20, m_g, v_g)
         return m_f, v_f + noise
+
+    def predict_density(self, Xnew, Ynew, S, key=None):
+        """Log predictive density of the S-sample mixture, integrating
+        both heads exactly (round-1 VERDICT weak #1: the inherited
+        ``DGPBase.predict_density`` scored (N, D) targets against the
+        2*D-headed Fmean/Fvar with the *fixed* likelihood variance —
+        shape (N, 2*D), silently wrong numbers).
+
+        Per sample s the f-integral is closed form given g:
+            \\int N(y; f, n(g)) N(f; m_f, v_f) df = N(y; m_f, v_f + n(g)),
+        and the g-integral uses Gauss-Hermite in log space — consistent
+        with the mixture-density definition at reference dgp.py:121-126
+        and the GH treatment in :meth:`E_log_p_Y`.  Returns (N, D).
+        """
+        from jax.scipy.special import logsumexp
+
+        from ..ops.quadrature import ndiagquad
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        Fmean, Fvar = self._predict(Xnew, key=key, full_cov=False, S=S)
+        D = jnp.asarray(Ynew).shape[-1]
+        m_f, m_g = Fmean[..., :D], Fmean[..., D:]
+        v_f, v_g = Fvar[..., :D], Fvar[..., D:]
+
+        def log_gauss(G, Y, m_f=None, v_f=None):
+            var = v_f + jax.nn.softplus(G) + self.min_noise
+            return -0.5 * (jnp.log(2 * jnp.pi * var) + (Y - m_f) ** 2 / var)
+
+        l = ndiagquad(
+            lambda G, Y: log_gauss(G, Y, m_f=m_f, v_f=v_f),
+            20, m_g, v_g, logspace=True, Y=jnp.asarray(Ynew))   # (S, N, D)
+        log_S = jnp.log(jnp.asarray(S, dtype=l.dtype))
+        return logsumexp(l - log_S, axis=0)
