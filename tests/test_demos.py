@@ -29,8 +29,10 @@ def _run(args, timeout=480):  # generous: xdist runs these under heavy
      "--minibatch", "128"],
     ["demos/damianou.py", "--n", "120", "--iterations", "15",
      "--inducing", "12"],
+    ["demos/sgpmc.py", "--num-data", "30", "--num-inducing", "8",
+     "--num-samples", "60", "--num-burn", "40"],
 ], ids=["step_function", "priors", "natural_gradients", "mnist",
-        "damianou"])
+        "damianou", "sgpmc"])
 def test_demo_runs(args):
     out = _run(args)
     assert "Traceback" not in out
