@@ -122,7 +122,10 @@ def _host_gram(kern, Z):
     """Build-time gram on the CPU backend: on TPU, eager f32 matmuls run
     at reduced (bf16-class) precision and the sq-dist cancellation can
     leave the gram indefinite beyond any reasonable jitter."""
-    cpu = jax.devices("cpu")[0]
+    # local_devices, not devices: under multi-host (jax.distributed)
+    # the global list starts with process 0's devices, and eager compute
+    # on a non-addressable device cannot be fetched back
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         return np.asarray(kern.K(jnp.asarray(Z, dtype=default_float())),
                           dtype=np.float64)
@@ -177,11 +180,14 @@ class SVGPLayer(Layer):
     solve_mode: str = static_field(default="solve")
     # False | True | "auto" (shape-gated, TPU only)
     use_pallas: Any = static_field(default=False)
+    # 'default' | 'highest': matmul precision inside conditional_ND
+    # (TPU f32 default matmuls are bf16-class; see config.py)
+    precision: str = static_field(default="default")
 
     @classmethod
     def make(cls, kern, Z, num_outputs, mean_function=None, white=False,
              input_prop_dim=None, jitter=None, solve_mode=None,
-             use_pallas=None):
+             use_pallas=None, precision=None):
         Z = np.asarray(Z, dtype=default_float())
         M = Z.shape[0]
         if mean_function is None:
@@ -189,6 +195,8 @@ class SVGPLayer(Layer):
         jitter = default_jitter() if jitter is None else float(jitter)
         solve_mode = config.solve_mode if solve_mode is None else solve_mode
         use_pallas = config.use_pallas if use_pallas is None else use_pallas
+        precision = (config.matmul_precision if precision is None
+                     else precision)
         q_mu = np.zeros((M, num_outputs))
         q_sqrt = _init_q_sqrt(Z, kern, num_outputs, white, jitter)
         return cls(
@@ -203,6 +211,7 @@ class SVGPLayer(Layer):
             jitter=jitter,
             solve_mode=solve_mode,
             use_pallas=use_pallas,
+            precision=precision,
         )
 
     @property
@@ -245,9 +254,20 @@ class SVGPLayer(Layer):
                         var  = Kff + colsum(Kuf * (W_d Kuf)).
                       Mathematically identical; avoids the two big
                       sequential triangular solves entirely.
+
+        ``precision='highest'`` runs every contraction in here (grams,
+        G/W/T, mean/var) with 3-pass-f32 matmuls — the f32-TPU
+        trajectory-accuracy mode (see PERF.md round-2 precision
+        experiment).
         """
+        if self.precision != "default":
+            with jax.default_matmul_precision(self.precision):
+                return self._conditional_ND_impl(X, full_cov)
+        return self._conditional_ND_impl(X, full_cov)
+
+    def _conditional_ND_impl(self, X, full_cov=False):
         use_pallas = self.use_pallas
-        if use_pallas == "auto":
+        if use_pallas in ("auto", "auto_saved"):
             # shape-gated: only the measured-win region on a real TPU
             # (ops/pallas/conditional.py::pallas_profitable)
             from ..ops.pallas.conditional import pallas_profitable
@@ -315,8 +335,12 @@ class SVGPLayer(Layer):
     def _conditional_fused(self, X):
         """Fused Pallas path: the whole gram->mean/var pipeline runs as
         one tiled TPU kernel (ops/pallas/conditional.py).  Valid for RBF
-        (optionally + White) kernels, diagonal covariance."""
-        from ..ops.pallas.conditional import fused_conditional
+        (optionally + White) kernels, diagonal covariance.
+        ``use_pallas='saved'`` routes to the save-gram variant (the
+        backward consumes the forward's gram residual instead of
+        recomputing)."""
+        from ..ops.pallas.conditional import (fused_conditional,
+                                              fused_conditional_saved)
 
         rbf, white_var = _fusable_rbf(self.kern)
         Ku, Lu = self._chol_Kuu()
@@ -331,8 +355,10 @@ class SVGPLayer(Layer):
         kvar = rbf.variance.value
         kdiag = kvar + white_var
         interpret = jax.default_backend() not in ("tpu", "axon")
-        mean, var = fused_conditional(Xs, Zs, alpha, W, kvar, kdiag,
-                                      interpret)
+        fc = (fused_conditional_saved
+              if self.use_pallas in ("saved", "auto_saved")
+              else fused_conditional)
+        mean, var = fc(Xs, Zs, alpha, W, kvar, kdiag, interpret)
         return mean + self.mean_function(X), var
 
     def KL(self):
@@ -365,7 +391,7 @@ class SGPMCLayer(SVGPLayer):
             num_outputs_=num_outputs, white=white,
             input_prop_dim=input_prop_dim,
             jitter=base.jitter, solve_mode=base.solve_mode,
-            use_pallas=base.use_pallas,
+            use_pallas=base.use_pallas, precision=base.precision,
         )
 
     def KL(self):
