@@ -64,6 +64,14 @@ class Config:
     # tried, including the isolated-win region — the kernel stays as
     # opt-in infrastructure with exact parity tests.
     use_pallas: object = False
+    # Matmul precision for the SVGP conditional's contractions
+    # ('default' | 'highest').  TPU f32 matmuls run at bf16-class
+    # precision by default; 'highest' forces the 3-pass f32 algorithm
+    # inside conditional_ND — the round-2 knob for the f32-vs-f64 MC
+    # trajectory experiment (round-1 VERDICT weak #2).  Snapshotted at
+    # build time like solve_mode; flip with with_config(m,
+    # precision=...).
+    matmul_precision: str = "default"
 
 
 # A single process-global Config: setters and temp_config mutate this one
