@@ -93,27 +93,23 @@ def _onehot_lane(d, Do, dtype):
     return (lane == d).astype(dtype)
 
 
-def _fwd_kernel(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref,
-                mean_ref, var_ref):
-    # grid (num_batch_tiles, Do): d is the fast axis, so the mean/var
-    # output blocks for batch tile i stay VMEM-resident across the d
-    # sweep while W_d streams through.
-    d = pl.program_id(1)
-    x = xs_ref[:]                                   # (TB, Dx)
-    z = zs_ref[:]                                   # (Mp, Dx)
-    kvar = scal_ref[0, 0]
-    kdiag = scal_ref[0, 1]
+def _fwd_body(d, x, z, alpha_ref, w_ref, kvar, kdiag,
+              mean_ref, var_ref, k_scr):
+    """Shared forward step: at d == 0 compute the gram tile once into
+    the VMEM scratch (it persists across the fast d axis — round-2
+    change: K was previously recomputed per d) and emit the mean; every
+    d accumulates its variance column."""
     at = _acc_t(x.dtype)
-
-    K = _gram_tile(x, z, kvar, at)                  # (TB, Mp)
 
     @pl.when(d == 0)
     def _():
+        k_scr[:] = _gram_tile(x, z, kvar, at)
         mean_ref[:] = jnp.dot(
-            K, alpha_ref[:],
+            k_scr[:], alpha_ref[:],
             preferred_element_type=at).astype(mean_ref.dtype)
         var_ref[:] = jnp.zeros_like(var_ref)
 
+    K = k_scr[:]
     T = jnp.dot(K, w_ref[0], preferred_element_type=at)   # (TB, Mp)
     var_d = jnp.maximum(kdiag + jnp.sum(K * T, axis=1), 0.0)
     onehot = _onehot_lane(d, var_ref.shape[1], var_d.dtype)
@@ -121,7 +117,32 @@ def _fwd_kernel(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref,
         var_ref.dtype)
 
 
-def _fused_forward(Xs, Zs, alpha, W, kvar, kdiag, interpret=False):
+def _fwd_kernel(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref,
+                mean_ref, var_ref, k_scr):
+    # grid (num_batch_tiles, Do): d is the fast axis, so the mean/var
+    # output blocks for batch tile i stay VMEM-resident across the d
+    # sweep while W_d streams through.
+    d = pl.program_id(1)
+    _fwd_body(d, xs_ref[:], zs_ref[:], alpha_ref, w_ref,
+              scal_ref[0, 0], scal_ref[0, 1], mean_ref, var_ref, k_scr)
+
+
+def _fwd_kernel_sg(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref,
+                   mean_ref, var_ref, k_ref, k_scr):
+    """save_gram variant: additionally writes the gram tile to HBM so
+    the backward can consume it instead of recomputing (round-1 VERDICT
+    next-step #7)."""
+    d = pl.program_id(1)
+    _fwd_body(d, xs_ref[:], zs_ref[:], alpha_ref, w_ref,
+              scal_ref[0, 0], scal_ref[0, 1], mean_ref, var_ref, k_scr)
+
+    @pl.when(d == 0)
+    def _():
+        k_ref[:] = k_scr[:].astype(k_ref.dtype)
+
+
+def _fused_forward(Xs, Zs, alpha, W, kvar, kdiag, interpret=False,
+                   save_gram=False):
     B, Dx = Xs.shape
     M = Zs.shape[0]
     Do = alpha.shape[1]
@@ -136,8 +157,23 @@ def _fused_forward(Xs, Zs, alpha, W, kvar, kdiag, interpret=False):
     Wp = jnp.pad(W, ((0, 0), (0, Mp - M), (0, Mp - M)))
     scal = jnp.stack([kvar, kdiag]).reshape(1, 2).astype(Xs.dtype)
 
-    mean, var = pl.pallas_call(
-        _fwd_kernel,
+    out_specs = [
+        pl.BlockSpec((TB, Do), lambda i, d: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, Do), lambda i, d: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Bp, Do), Xs.dtype),
+        jax.ShapeDtypeStruct((Bp, Do), Xs.dtype),
+    ]
+    if save_gram:
+        out_specs.append(pl.BlockSpec((TB, Mp), lambda i, d: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((Bp, Mp), Xs.dtype))
+
+    outs = pl.pallas_call(
+        _fwd_kernel_sg if save_gram else _fwd_kernel,
         grid=(nT, Do),
         in_specs=[
             pl.BlockSpec((TB, Dx), lambda i, d: (i, 0),
@@ -151,24 +187,34 @@ def _fused_forward(Xs, Zs, alpha, W, kvar, kdiag, interpret=False):
             pl.BlockSpec((1, 2), lambda i, d: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((TB, Do), lambda i, d: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Do), lambda i, d: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((Bp, Do), Xs.dtype),
-            jax.ShapeDtypeStruct((Bp, Do), Xs.dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((TB, Mp), _acc_t(Xs.dtype))],
         interpret=interpret,
     )(Xp, Zp, ap, Wp, scal)
+    if save_gram:
+        mean, var, K = outs
+        return mean[:B], var[:B], K
+    mean, var = outs
     return mean[:B], var[:B]
 
 
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
+
+def _bwd_kernel_sg(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref, gm_ref,
+                   gv_ref, k_ref, dx_ref, dz_ref, dalpha_ref, dw_ref):
+    """save_gram backward: consumes the forward-saved gram tile from HBM
+    instead of recomputing it on the MXU+VPU (round-1 VERDICT next-step
+    #7 — trades one (B, Mp) HBM stream per d for the in-kernel
+    gram recompute the round-3 analysis blamed for the end-to-end
+    loss)."""
+    _bwd_body(pl.program_id(0), pl.program_id(1),
+              xs_ref, zs_ref, alpha_ref, w_ref, gm_ref, gv_ref,
+              k_ref[:].astype(_acc_t(xs_ref.dtype)),
+              dx_ref, dz_ref, dalpha_ref, dw_ref)
+
 
 def _bwd_kernel(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref, gm_ref, gv_ref,
                 dx_ref, dz_ref, dalpha_ref, dw_ref):
@@ -181,12 +227,17 @@ def _bwd_kernel(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref, gm_ref, gv_ref,
     VMEM-resident within a grid row)."""
     d = pl.program_id(0)
     i = pl.program_id(1)
+    at = _acc_t(xs_ref.dtype)
+    K = _gram_tile(xs_ref[:], zs_ref[:], scal_ref[0, 0], at)  # (TB, Mp)
+    _bwd_body(d, i, xs_ref, zs_ref, alpha_ref, w_ref, gm_ref, gv_ref,
+              K, dx_ref, dz_ref, dalpha_ref, dw_ref)
+
+
+def _bwd_body(d, i, xs_ref, zs_ref, alpha_ref, w_ref, gm_ref, gv_ref,
+              K, dx_ref, dz_ref, dalpha_ref, dw_ref):
     x = xs_ref[:]
     z = zs_ref[:]
-    kvar = scal_ref[0, 0]
     at = _acc_t(x.dtype)
-
-    K = _gram_tile(x, z, kvar, at)                  # (TB, Mp)
     gm = gm_ref[:]                                  # (TB, Do)
     # column d of the (pre-masked) variance cotangent, via a one-hot
     # contraction (no dynamic lane indexing on TPU)
@@ -235,10 +286,12 @@ def _bwd_kernel(xs_ref, zs_ref, alpha_ref, w_ref, scal_ref, gm_ref, gv_ref,
 
 
 def _fused_backward(Xs, Zs, alpha, W, kvar, gm, gv,
-                    interpret=False):
+                    interpret=False, Kp=None):
     """gm/gv are the (already clamp-masked) output cotangents; returns
     (dXs, dZs, dalpha, dW).  Scalar grads are reconstructed by the
-    caller from the saved forward outputs."""
+    caller from the saved forward outputs.  ``Kp`` (B-padded, Mp) is the
+    forward-saved gram — when given, the save_gram kernel streams it
+    from HBM instead of recomputing."""
     B, Dx = Xs.shape
     M = Zs.shape[0]
     Do = alpha.shape[1]
@@ -255,10 +308,7 @@ def _fused_backward(Xs, Zs, alpha, W, kvar, gm, gv,
     gmp = jnp.pad(gm, ((0, Bp - B), (0, 0)))
     gvp = jnp.pad(gv, ((0, Bp - B), (0, 0)))        # (Bp, Do)
 
-    outs = pl.pallas_call(
-        _bwd_kernel,
-        grid=(Do, nT),
-        in_specs=[
+    in_specs = [
             pl.BlockSpec((TB, Dx), lambda d, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Mp, Dx), lambda d, i: (0, 0),
@@ -273,7 +323,21 @@ def _fused_backward(Xs, Zs, alpha, W, kvar, gm, gv,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, Do), lambda d, i: (i, 0),
                          memory_space=pltpu.VMEM),
-        ],
+    ]
+    inputs = [Xp, Zp, ap, Wp, scal, gmp, gvp]
+    if Kp is not None:
+        # the forward's batch padding (its own TB) may differ from the
+        # backward's; normalize to this call's Bp
+        Kb = Kp[:B]
+        Kb = jnp.pad(Kb, ((0, Bp - B), (0, 0)))
+        in_specs.append(pl.BlockSpec((TB, Mp), lambda d, i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(Kb)
+
+    outs = pl.pallas_call(
+        _bwd_kernel_sg if Kp is not None else _bwd_kernel,
+        grid=(Do, nT),
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, TB, Dx), lambda d, i: (d, i, 0),
                          memory_space=pltpu.VMEM),
@@ -291,7 +355,7 @@ def _fused_backward(Xs, Zs, alpha, W, kvar, gm, gv,
             jax.ShapeDtypeStruct((Do, Mp, Mp), Xs.dtype),
         ),
         interpret=interpret,
-    )(Xp, Zp, ap, Wp, scal, gmp, gvp)
+    )(*inputs)
     dXt, dZt, dalpha, dW = outs
     dXs = jnp.sum(dXt, axis=0)[:B]
     dZs = jnp.sum(dZt, axis=0)[:M]
@@ -340,6 +404,42 @@ def _fc_bwd(interpret, res, cot):
 
 
 fused_conditional.defvjp(_fc_fwd, _fc_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_conditional_saved(Xs, Zs, alpha, W, kvar, kdiag,
+                            interpret=False):
+    """save_gram variant of :func:`fused_conditional` (round-1 VERDICT
+    next-step #7): the forward emits the gram as a residual and the
+    backward streams it from HBM instead of recomputing in-kernel —
+    removing exactly the recompute the round-3 end-to-end analysis
+    blamed, at the cost of one extra (B, Mp) HBM write + Do reads.
+    Primal values are identical to fused_conditional."""
+    return _fused_forward(Xs, Zs, alpha, W, kvar, kdiag,
+                          interpret=interpret)
+
+
+def _fcs_fwd(Xs, Zs, alpha, W, kvar, kdiag, interpret):
+    mean, var, K = _fused_forward(Xs, Zs, alpha, W, kvar, kdiag,
+                                  interpret=interpret, save_gram=True)
+    return (mean, var), (Xs, Zs, alpha, W, kvar, kdiag, mean, var, K)
+
+
+def _fcs_bwd(interpret, res, cot):
+    Xs, Zs, alpha, W, kvar, kdiag, mean, var, K = res
+    gm, gv = cot
+    gv_eff = jnp.where(var > 0.0, gv, 0.0)
+    dkdiag = jnp.sum(gv_eff)
+    dkvar = (jnp.sum(gm * mean)
+             + 2.0 * jnp.sum(gv_eff * (var - kdiag))) / kvar
+    dXs, dZs, dalpha, dW = _fused_backward(
+        Xs, Zs, alpha, W, kvar, gm, gv_eff, interpret=interpret, Kp=K)
+    return (dXs, dZs, dalpha, dW,
+            dkvar.astype(jnp.asarray(kvar).dtype),
+            dkdiag.astype(jnp.asarray(kdiag).dtype))
+
+
+fused_conditional_saved.defvjp(_fcs_fwd, _fcs_bwd)
 
 
 def fused_conditional_reference(Xs, Zs, alpha, W, kvar, kdiag):

@@ -68,7 +68,7 @@ def main():
 
     results = {}
     for M in args.m:
-        for mode in (False, "auto"):
+        for mode in (False, "auto", "auto_saved"):
             model = build(M, mode, args.num_samples)
             rate, loss, _ = measure(model, args.batch, args.steps,
                                     inner_steps=args.inner_steps)
@@ -82,8 +82,11 @@ def main():
             }), flush=True)
     for M in args.m:
         xla, auto = results[(M, False)], results[(M, "auto")]
+        saved = results[(M, "auto_saved")]
         print(json.dumps({"summary": f"M={M}",
-                          "auto_vs_xla": round(auto / xla, 3)}))
+                          "auto_vs_xla": round(auto / xla, 3),
+                          "saved_vs_xla": round(saved / xla, 3),
+                          "saved_vs_auto": round(saved / auto, 3)}))
 
 
 if __name__ == "__main__":

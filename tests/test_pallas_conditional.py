@@ -8,7 +8,10 @@ import pytest
 from numpy.testing import assert_allclose
 
 from doubly_stochastic_dgp_tpu.ops.pallas.conditional import (
-    fused_conditional, fused_conditional_reference)
+    fused_conditional, fused_conditional_reference,
+    fused_conditional_saved)
+
+FUSED = {"recompute": fused_conditional, "saved": fused_conditional_saved}
 
 
 def _setup(B=700, M=100, Dx=8, Do=4, dtype=jnp.float64, seed=0):
@@ -23,24 +26,26 @@ def _setup(B=700, M=100, Dx=8, Do=4, dtype=jnp.float64, seed=0):
     return Xs, Zs, alpha, W, kvar, kdiag
 
 
+@pytest.mark.parametrize("variant", ["recompute", "saved"])
 @pytest.mark.parametrize("B,M,Do", [(700, 100, 4), (512, 128, 1),
                                     (130, 37, 3)])
-def test_forward_parity(B, M, Do):
+def test_forward_parity(B, M, Do, variant):
     args = _setup(B=B, M=M, Do=Do)
-    m1, v1 = fused_conditional(*args, True)
+    m1, v1 = FUSED[variant](*args, True)
     m2, v2 = fused_conditional_reference(*args)
     assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-9, atol=1e-11)
     assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-9, atol=1e-11)
 
 
-def test_gradient_parity():
+@pytest.mark.parametrize("variant", ["recompute", "saved"])
+def test_gradient_parity(variant):
     args = _setup(B=260, M=50, Dx=5, Do=3, seed=1)
     rng = np.random.RandomState(2)
     Gm = jnp.asarray(rng.randn(260, 3))
     Gv = jnp.asarray(rng.randn(260, 3))
 
     def f_pl(*a):
-        m, v = fused_conditional(*a, True)
+        m, v = FUSED[variant](*a, True)
         return jnp.sum(m * Gm) + jnp.sum(v * Gv)
 
     def f_ref(*a):
@@ -57,7 +62,8 @@ def test_gradient_parity():
 
 def test_gradient_parity_with_clamp_active():
     """Negative-variance clamp: the vjp must zero the masked entries the
-    same way the reference max(., 0) does."""
+    same way the reference max(., 0) does (checked on the save-gram
+    variant, whose bwd consumes the forward-saved gram)."""
     args = list(_setup(B=200, M=30, Dx=4, Do=2, seed=3))
     # force some negative raw variances: large negative kdiag
     args[5] = jnp.asarray(-0.5, dtype=jnp.float64)
@@ -65,7 +71,7 @@ def test_gradient_parity_with_clamp_active():
     Gv = jnp.asarray(rng.randn(200, 2))
 
     def f_pl(*a):
-        _, v = fused_conditional(*a, True)
+        _, v = fused_conditional_saved(*a, True)
         return jnp.sum(v * Gv)
 
     def f_ref(*a):
