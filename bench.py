@@ -1,15 +1,30 @@
 #!/usr/bin/env python
-"""Benchmark: ELBO optimization steps/sec on the BASELINE config —
-kin8nm-shaped data (N=7372, D=8), 5-layer DGP, M=100 inducing points,
-S=10 MC samples, minibatch 1000, Adam(0.01) (BASELINE.json; reference
-run config demos/run_regression.py:45-69 + notebook cell 15).
+"""Benchmark: ELBO optimization steps/sec.
+
+Headline config (BASELINE.json): kin8nm-shaped data (N=7372, D=8),
+5-layer DGP, M=100 inducing points, S=10 MC samples, minibatch 1000,
+Adam(0.01) (reference run config demos/run_regression.py:45-69 +
+notebook cell 15).
+
+Round-2 (VERDICT next-step #3): the default run also measures the
+multi-config matrix —
+  - paper_L2 / paper_L5: the reference experiment config, minibatch
+    10000 (full batch when N < 10000) and S=1
+    (/root/reference/demos/run_regression.py:45-69);
+  - mnist_dgp2: 784->30->10 MultiClass robust-max, minibatch 1000
+    (reference demo_mnist.ipynb);
+  - large_M: M=512, batch 8192, L=2 — the MXU-friendly regime.
+Each row reports steps/s, sustained TFLOP/s from an analytic matmul
+flop model of the staged-inverse conditional, and % of the
+*achievable* f32 ceiling (66 TFLOP/s x the (M/Mpad)^2 128-lane padding
+efficiency — the PERF.md roofline method).
 
 Prints ONE JSON line:
   {"metric": ..., "value": steps/sec, "unit": "steps/sec",
-   "vs_baseline": ratio}
+   "vs_baseline": ratio, "matrix": [...]}
 
 vs_baseline is measured against the GPflow/TF1 CPU reference's training
-rate for this exact config.  The reference's own published throughput
+rate for the headline config.  The reference's own published throughput
 anecdote (demo_mnist.ipynb cell 15: ~0.23 it/s for SVGP M=500 on CPU) is
 not config-matched, so the pinned number below was measured by timing
 this same 5-layer/M=100/S=10/batch=1000 training step with JAX on this
@@ -24,11 +39,13 @@ import os
 import sys
 import time
 
-# Pinned CPU-baseline steps/sec for this config (see module docstring).
-# Measured on this container (JAX CPU, float32, same train step): the
-# honest stand-in for "CPU GPflow" given zero egress. Update with
-# --with-cpu.
+# Pinned CPU-baseline steps/sec for the headline config (see module
+# docstring).  Measured on this container (JAX CPU, float32, same train
+# step): the honest stand-in for "CPU GPflow" given zero egress.  Update
+# with --with-cpu.
 CPU_BASELINE_STEPS_PER_SEC = 1.07
+
+F32_MATMUL_CEILING = 66e12          # v5e: exact-f32 as 3-pass bf16
 
 
 def _enable_compile_cache():
@@ -41,9 +58,7 @@ def _enable_compile_cache():
         pass
 
 
-def build(args):
-    import numpy as np
-    import jax
+def _set_numerics(args):
     import doubly_stochastic_dgp_tpu as dsd
     from doubly_stochastic_dgp_tpu.config import config
 
@@ -55,44 +70,92 @@ def build(args):
     # tried (PERF.md round 3; scripts/bench_large_m.py)
     config.use_pallas = True if args.pallas else False
 
-    from doubly_stochastic_dgp_tpu.data.datasets import (Datasets,
-                                                         SyntheticRegression)
+
+def _regression_data():
+    from doubly_stochastic_dgp_tpu.data.datasets import (
+        Datasets, SyntheticRegression)
     try:
         data = Datasets("data/").all_datasets["kin8nm"].get_data(split=0)
         real = True
     except Exception:
         data = SyntheticRegression(N=8192, D=8).get_data(split=0)
         real = False
-    X, Y = data["X"].astype("float32"), data["Y"].astype("float32")
+    return data["X"].astype("float32"), data["Y"].astype("float32"), real
 
+
+def build_regression(X, Y, layers, M, num_samples):
+    import doubly_stochastic_dgp_tpu as dsd
     from scipy.cluster.vq import kmeans2
-    Z = kmeans2(X, 100, minit="points", seed=0)[0]
 
+    Z = kmeans2(X, M, minit="points", seed=0)[0]
     D = X.shape[1]
-    L = args.layers
     kernels = []
-    for l in range(L):
+    for l in range(layers):
         k = dsd.RBF.make(D)
-        if l < L - 1:
+        if l < layers - 1:
             k = k + dsd.White.make(D, variance=2e-6, trainable=False)
         kernels.append(k)
-
     model = dsd.DGP.build(X, Y, Z, kernels, dsd.Gaussian.make(0.05),
-                          num_samples=args.num_samples)
+                          num_samples=num_samples)
     # near-deterministic inner layers (reference run_regression.py:71-74)
-    layers = list(model.layers)
-    for i, layer in enumerate(layers[:-1]):
-        layers[i] = layer.replace(
+    mlayers = list(model.layers)
+    for i, layer in enumerate(mlayers[:-1]):
+        mlayers[i] = layer.replace(
             q_sqrt=layer.q_sqrt.with_value(layer.q_sqrt.value * 1e-5))
-    model = model.replace(layers=layers)
-    return model, data, real
+    return model.replace(layers=mlayers)
+
+
+def build_mnist_shape(M=100):
+    """784->30->10 MultiClass DGP2 on shape-matched synthetic MNIST
+    (reference demo_mnist.ipynb; zero egress blocks the real download)."""
+    import numpy as np
+    import doubly_stochastic_dgp_tpu as dsd
+    from scipy.cluster.vq import kmeans2
+
+    rng = np.random.RandomState(0)
+    N, D, K = 6000, 784, 10
+    W = rng.randn(D, K) * 0.5
+    X = rng.rand(N, D).astype("float32")
+    Y = np.argmax(X @ W + rng.randn(N, K) * 0.1, 1)[:, None]
+    Z = kmeans2(X, M, minit="points", seed=0)[0]
+    kernels = [dsd.RBF.make(784, lengthscales=2.0, variance=2.0),
+               dsd.RBF.make(30, lengthscales=2.0, variance=2.0)]
+    return dsd.DGP.build(X, Y.astype("float32"), Z, kernels,
+                         dsd.MultiClass.make(K), num_outputs=K,
+                         num_samples=1)
+
+
+def step_flops(model, M, S, B):
+    """Analytic matmul-dominated flops per optimizer step (fwd + bwd).
+
+    Per layer, R = S*B rows through the staged-inverse conditional
+    (models/layers.py:266-293): gram Kuf 2*R*M*Din, G = Li Kuf
+    2*M^2*R, T = W G 2*Do*M^2*R, mean/var epilogues 4*M*R*Do, and the
+    M^3-ish chol + triangular inverse.  Backward ~ 2x forward (the
+    PERF.md roofline method, refined from the round-2 estimate)."""
+    R = S * B
+    total = 0
+    Din = model.X_data.shape[1]
+    for layer in model.layers:
+        Do = layer.num_outputs
+        fwd = (2 * R * M * Din + 2 * M * M * R * (1 + Do)
+               + 4 * M * R * Do + 2 * M ** 3)
+        total += 3 * fwd                       # fwd + ~2x bwd
+        Din = Do
+    return total
+
+
+def achievable_ceiling(M):
+    """f32 matmul ceiling x the 128-lane padding efficiency at this M."""
+    Mp = -(-M // 128) * 128
+    return F32_MATMUL_CEILING * (M / Mp) ** 2
 
 
 def measure(model, batch_size, steps, warmup=5, inner_steps=1):
     import jax
     import optax
-    from doubly_stochastic_dgp_tpu.training.loop import (make_scan_train_step,
-                                                         make_sgd_train_step)
+    from doubly_stochastic_dgp_tpu.training.loop import (
+        make_scan_train_step, make_sgd_train_step)
     from doubly_stochastic_dgp_tpu.training.optim import masked_optimizer
 
     tx = masked_optimizer(optax.adam(0.01), model)
@@ -118,6 +181,44 @@ def measure(model, batch_size, steps, warmup=5, inner_steps=1):
     return n_calls * inner_steps / dt, float(loss), model
 
 
+MATRIX = [
+    # name, layers, M, S, batch, kind
+    ("paper_L2", 2, 100, 1, 10000, "reg"),
+    ("paper_L5", 5, 100, 1, 10000, "reg"),
+    ("mnist_dgp2", 2, 100, 1, 1000, "mnist"),
+    ("large_M", 2, 512, 1, 8192, "reg"),
+]
+
+
+def run_matrix(args, X, Y):
+    rows = []
+    for name, L, M, S, batch, kind in MATRIX:
+        if kind == "mnist":
+            model = build_mnist_shape(M=M)
+            B = min(batch, 6000)
+        else:
+            model = build_regression(X, Y, L, M, S)
+            B = min(batch, X.shape[0])
+        rate, loss, _ = measure(model, B, args.matrix_steps,
+                                inner_steps=args.matrix_inner_steps)
+        flops = step_flops(model, M, S, B)
+        sustained = flops * rate
+        rows.append({
+            "name": name, "layers": L, "M": M, "S": S, "batch": B,
+            "steps_per_sec": round(rate, 2),
+            "flops_per_step": float(f"{flops:.3g}"),
+            "tflops_sustained": round(sustained / 1e12, 2),
+            "mfu_pct_of_achievable": round(
+                100 * sustained / achievable_ceiling(M), 1),
+            "final_loss": round(loss, 2),
+        })
+        print(f"# {name}: {rate:.1f} steps/s, "
+              f"{sustained / 1e12:.1f} TFLOP/s, "
+              f"{100 * sustained / achievable_ceiling(M):.1f}% of "
+              f"achievable", file=sys.stderr, flush=True)
+    return rows
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=300)
@@ -127,28 +228,35 @@ def main():
     p.add_argument("--pallas", action="store_true", default=False)
     p.add_argument("--inner-steps", type=int, default=50,
                    help="steps per XLA dispatch (lax.scan amortization)")
+    p.add_argument("--no-matrix", action="store_true",
+                   help="headline config only")
+    p.add_argument("--matrix-steps", type=int, default=60)
+    p.add_argument("--matrix-inner-steps", type=int, default=20)
     p.add_argument("--with-cpu", action="store_true",
                    help="also measure the CPU backend for vs_baseline")
     args = p.parse_args()
 
     import jax
     _enable_compile_cache()
-    model, data, real = build(args)
+    _set_numerics(args)
+    X, Y, real = _regression_data()
     platform = jax.devices()[0].platform
 
-    rate, loss, model = measure(model, args.batch, args.steps,
-                                inner_steps=args.inner_steps)
+    model = build_regression(X, Y, args.layers, 100, args.num_samples)
+    rate, loss, _ = measure(model, args.batch, args.steps,
+                            inner_steps=args.inner_steps)
 
     baseline = CPU_BASELINE_STEPS_PER_SEC
     if args.with_cpu:
         cpu_devs = jax.devices("cpu")
-        # re-run the same measurement pinned to CPU
         with jax.default_device(cpu_devs[0]):
-            m2, _, _ = build(args)
+            m2 = build_regression(X, Y, args.layers, 100,
+                                  args.num_samples)
             baseline, _, _ = measure(m2, args.batch,
                                      max(10, args.steps // 10),
                                      inner_steps=args.inner_steps)
 
+    flops = step_flops(model, 100, args.num_samples, args.batch)
     out = {
         "metric": "elbo_steps_per_sec (kin8nm-shape, 5-layer DGP, "
                   "M=100, S=10, batch=1000)",
@@ -158,7 +266,12 @@ def main():
         "platform": platform,
         "real_kin8nm": real,
         "final_loss": round(loss, 3),
+        "tflops_sustained": round(flops * rate / 1e12, 2),
+        "mfu_pct_of_achievable": round(
+            100 * flops * rate / achievable_ceiling(100), 1),
     }
+    if not args.no_matrix:
+        out["matrix"] = run_matrix(args, X, Y)
     print(json.dumps(out))
 
 

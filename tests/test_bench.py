@@ -32,11 +32,19 @@ def test_bench_build_and_measure_tiny():
 
     args = argparse.Namespace(steps=4, batch=64, layers=2, num_samples=2,
                               pallas=False, inner_steps=2, with_cpu=False)
-    model, data, real = bench.build(args)
+    bench._set_numerics(args)
+    X, Y, real = bench._regression_data()
+    model = bench.build_regression(X, Y, args.layers, 100,
+                                   args.num_samples)
     rate, loss, model = bench.measure(model, args.batch, args.steps,
                                       warmup=2, inner_steps=2)
     assert rate > 0
     assert np.isfinite(loss)
+    # the flop model / MFU helpers are sane
+    fl = bench.step_flops(model, 100, args.num_samples, args.batch)
+    assert fl > 0
+    assert 0 < bench.achievable_ceiling(100) < bench.achievable_ceiling(128) + 1
+    assert bench.achievable_ceiling(128) == bench.F32_MATMUL_CEILING
 
 
 def test_graft_entry():
