@@ -169,6 +169,47 @@ def main():
     for L in (1, 2, 3):
         run(f"DGP{L}_ng", build_dgp(dsd, X, Y, Z, L), natgrad_gamma=0.1)
 
+    # --- conjugate-regime natgrad early-speed experiment (round-1
+    # VERDICT next-step #4): GP-sample data whose hyperparameters match
+    # the init (data/datasets.py::ConjugateRegression — the kin8nm
+    # regime where the fit is dominated by the conjugate final layer),
+    # where the published "NatGrad ~converged by ~100 iters vs ~5000
+    # for Adam" claim (UCI nb cell 17) is discriminating OFFLINE.
+    # Fixed 1000-iteration budget, early eval at 100, same DGP2 build.
+    from doubly_stochastic_dgp_tpu.data.datasets import \
+        ConjugateRegression
+    cdata = ConjugateRegression(N=2000, D=4).get_data(split=args.split)
+    cX, cY, cXs, cYs, cYstd = (cdata[k].astype(dtype) if k != "Y_std"
+                               else cdata[k]
+                               for k in ["X", "Y", "Xs", "Ys", "Y_std"])
+    cZ = kmeans2(cX, min(100, cX.shape[0]), minit="points",
+                 seed=0)[0].astype(dtype)
+    cbatch = min(1000, cX.shape[0])
+    for name, ng in [("DGP2_cj", None), ("DGP2_cj_ng", 0.1)]:
+        evals = {}
+
+        def cb(step, m, loss, stats):
+            if step == 100:
+                evals["early"] = evaluate_regression(
+                    m, cXs, cYs, cYstd, S=args.eval_samples,
+                    batch_size=1000)
+
+        t0 = time.perf_counter()
+        m, _ = fit(build_dgp(dsd, cX, cY, cZ, 2), 1000,
+                   learning_rate=0.01, batch_size=cbatch,
+                   natgrad_gamma=ng, log_every=100, callbacks=[cb])
+        dt = time.perf_counter() - t0
+        final = evaluate_regression(m, cXs, cYs, cYstd,
+                                    S=args.eval_samples, batch_size=1000)
+        results[name] = {
+            "loglik": final["loglik"], "rmse": final["rmse"],
+            "loglik_early": evals["early"]["loglik"],
+            "rmse_early": evals["early"]["rmse"],
+            "train_seconds": round(dt, 1),
+            "steps_per_sec": round(1000 / dt, 1)}
+        print(f"{name:14s} loglik {final['loglik']:+.4f} "
+              f"(@100: {evals['early']['loglik']:+.4f})", flush=True)
+
     payload = {"dataset": ds_name, "real_data": real, "dtype": dtype,
                "iterations": args.iterations,
                "early_iter": args.early_iter, "M": int(M),
@@ -210,6 +251,11 @@ def write_report(args, payload):
         lines.append(f"| {name} | {r['loglik']:+.4f} | {r['rmse']:.4f} "
                      f"| {e} | {r['steps_per_sec']} |")
     checks = qualitative_checks(results, real=real)
+    if real and payload["iterations"] >= 5000:
+        checks += published_checks(results, early_iter)
+    elif real:
+        lines += ["", "NB published-number assertions need the full "
+                  "budget: re-run with --iterations 5000 --check."]
     lines += ["", "## Qualitative checks", ""]
     for desc, ok in checks:
         lines.append(f"- {'PASS' if ok else 'FAIL'}: {desc}")
@@ -231,6 +277,55 @@ def write_report(args, payload):
         sys.exit(1)
 
 
+# Committed notebook outputs (BASELINE.md; reference
+# demo_regression_UCI.ipynb cells 13/15/17): (test loglik, test RMSE)
+# after the full training budget (5000 iters, minibatch 1000, M=100,
+# S=5 / S=100-sample evaluation).  Tolerances cover single-split,
+# single-seed run-to-run variance.
+PUBLISHED_KIN8NM = {
+    "SVGP": (0.9736, 0.0868),
+    "DGP1": (0.9434, 0.0896),
+    "DGP2": (1.2913, 0.0661),
+    "DGP3": (1.3039, 0.0655),
+    "DGP1_ng": (0.9549, 0.0890),
+    "DGP2_ng": (1.2915, 0.0664),
+    "DGP3_ng": (1.3147, 0.0650),
+}
+PUBLISHED_KIN8NM_NG_EARLY = {"DGP2_ng": 1.2837, "DGP3_ng": 1.2958}
+LL_TOL, RMSE_TOL = 0.06, 0.006
+
+
+def published_checks(results, early_iter):
+    """Asserted published-number parity (round-1 VERDICT missing #1 /
+    next-step #6): active when the real kin8nm CSV was used with the
+    full published budget.  Expected values are the committed notebook
+    outputs pinned in BASELINE.md."""
+    checks = []
+    for name, (ll_pub, rmse_pub) in PUBLISHED_KIN8NM.items():
+        r = results.get(name)
+        if r is None:
+            continue
+        checks.append((
+            f"published {name}: loglik {r['loglik']:+.4f} within "
+            f"{LL_TOL} of {ll_pub:+.4f}",
+            abs(r["loglik"] - ll_pub) < LL_TOL))
+        checks.append((
+            f"published {name}: rmse {r['rmse']:.4f} within "
+            f"{RMSE_TOL} of {rmse_pub:.4f}",
+            abs(r["rmse"] - rmse_pub) < RMSE_TOL))
+    if early_iter == 100:
+        for name, ll_pub in PUBLISHED_KIN8NM_NG_EARLY.items():
+            r = results.get(name)
+            if r is None or r.get("loglik_early") is None:
+                continue
+            checks.append((
+                f"published {name} @100 iters: "
+                f"{r['loglik_early']:+.4f} >= {ll_pub:+.4f} - 0.07 "
+                "(UCI nb cell 17 early-convergence)",
+                r["loglik_early"] >= ll_pub - 0.07))
+    return checks
+
+
 def qualitative_checks(results, real=False):
     ll = {k: v["loglik"] for k, v in results.items()}
     early = {k: v["loglik_early"] for k, v in results.items()}
@@ -248,6 +343,23 @@ def qualitative_checks(results, real=False):
         ("natgrad endpoint >= Adam endpoint - 0.05 (DGP2)",
          ll["DGP2_ng"] >= ll["DGP2"] - 0.05),
     ]
+    if "DGP2_cj" in results:
+        # the conjugate-dominated synthetic restores the natgrad
+        # early-speed structure OFFLINE (round-1 VERDICT next-step #4):
+        # on hyperparameter-matched GP-sample data the final conjugate
+        # layer dominates learning, exactly the published kin8nm regime
+        # (UCI nb cell 17)
+        checks.append(
+            ("conjugate-regime natgrad speed: DGP2_cj_ng @100 > "
+             "DGP2_cj(Adam) @100 + 0.02",
+             early["DGP2_cj_ng"] is not None
+             and early["DGP2_cj"] is not None
+             and early["DGP2_cj_ng"] > early["DGP2_cj"] + 0.02))
+        checks.append(
+            ("conjugate-regime natgrad @100 within 0.1 of its trained "
+             "endpoint (~converged by 100 iters)",
+             early["DGP2_cj_ng"] is not None
+             and early["DGP2_cj_ng"] >= ll["DGP2_cj_ng"] - 0.1))
     if real:
         # early-iteration speed is the published *kin8nm* claim (NatGrad
         # ~converged by ~100 iters, UCI nb cell 17).  On the synthetic
