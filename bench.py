@@ -65,6 +65,8 @@ def _set_numerics(args):
     dsd.set_default_float("float32")
     dsd.set_default_jitter(1e-5)
     config.solve_mode = "inverse"
+    if getattr(args, "precision", None):
+        config.matmul_precision = args.precision
     # --pallas forces the fused conditional everywhere; default False —
     # end-to-end measurements show XLA ahead in-context at all shapes
     # tried (PERF.md round 3; scripts/bench_large_m.py)
@@ -234,6 +236,9 @@ def main():
     p.add_argument("--matrix-inner-steps", type=int, default=20)
     p.add_argument("--with-cpu", action="store_true",
                    help="also measure the CPU backend for vs_baseline")
+    p.add_argument("--precision", default=None,
+                   help="override conditional matmul precision "
+                        "('default'|'highest') for all configs")
     args = p.parse_args()
 
     import jax

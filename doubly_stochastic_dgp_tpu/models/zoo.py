@@ -149,16 +149,16 @@ class DGPHeteroscedastic(DGPBase):
             20, m_g, v_g, Y=Y)
         return jnp.mean(var_exp, axis=0)
 
-    def predict_y(self, Xnew, S, key=None):
-        """Predictive moments of y: mean m_f; variance v_f + E[noise(g)]
+    def sample_predict_y(self, Fmean, Fvar):
+        """Per-sample y-moments: mean m_f; variance v_f + E[noise(g)]
         with the expectation over the noise head q(g) = N(m_g, v_g)
         taken by Gauss-Hermite quadrature — consistent with the GH
         treatment in E_log_p_Y (round-1 VERDICT weak #8: the previous
-        version plugged in softplus(m_g) and ignored v_g)."""
+        version plugged in softplus(m_g) and ignored v_g).  Overriding
+        this hook (not predict_y) makes the dp_* mesh prediction paths
+        correct for this model too."""
         from ..ops.quadrature import ndiagquad
 
-        key = key if key is not None else jax.random.PRNGKey(0)
-        Fmean, Fvar = self._predict(Xnew, key=key, full_cov=False, S=S)
         D = Fmean.shape[-1] // 2
         m_f, m_g = Fmean[..., :D], Fmean[..., D:]
         v_f, v_g = Fvar[..., :D], Fvar[..., D:]
@@ -166,25 +166,21 @@ class DGPHeteroscedastic(DGPBase):
             lambda G: jax.nn.softplus(G) + self.min_noise, 20, m_g, v_g)
         return m_f, v_f + noise
 
-    def predict_density(self, Xnew, Ynew, S, key=None):
-        """Log predictive density of the S-sample mixture, integrating
-        both heads exactly (round-1 VERDICT weak #1: the inherited
-        ``DGPBase.predict_density`` scored (N, D) targets against the
-        2*D-headed Fmean/Fvar with the *fixed* likelihood variance —
-        shape (N, 2*D), silently wrong numbers).
+    def sample_log_densities(self, Fmean, Fvar, Ynew):
+        """Per-sample log predictive density, integrating both heads
+        exactly (round-1 VERDICT weak #1: the inherited default scored
+        (N, D) targets against the 2*D-headed Fmean/Fvar with the
+        *fixed* likelihood variance — shape (N, 2*D), silently wrong
+        numbers).
 
-        Per sample s the f-integral is closed form given g:
+        The f-integral is closed form given g:
             \\int N(y; f, n(g)) N(f; m_f, v_f) df = N(y; m_f, v_f + n(g)),
         and the g-integral uses Gauss-Hermite in log space — consistent
         with the mixture-density definition at reference dgp.py:121-126
-        and the GH treatment in :meth:`E_log_p_Y`.  Returns (N, D).
-        """
-        from jax.scipy.special import logsumexp
-
+        and the GH treatment in :meth:`E_log_p_Y`.  Returns (S, N, D);
+        DGPBase.predict_density mixes over S."""
         from ..ops.quadrature import ndiagquad
 
-        key = key if key is not None else jax.random.PRNGKey(0)
-        Fmean, Fvar = self._predict(Xnew, key=key, full_cov=False, S=S)
         D = jnp.asarray(Ynew).shape[-1]
         m_f, m_g = Fmean[..., :D], Fmean[..., D:]
         v_f, v_g = Fvar[..., :D], Fvar[..., D:]
@@ -193,8 +189,6 @@ class DGPHeteroscedastic(DGPBase):
             var = v_f + jax.nn.softplus(G) + self.min_noise
             return -0.5 * (jnp.log(2 * jnp.pi * var) + (Y - m_f) ** 2 / var)
 
-        l = ndiagquad(
+        return ndiagquad(
             lambda G, Y: log_gauss(G, Y, m_f=m_f, v_f=v_f),
-            20, m_g, v_g, logspace=True, Y=jnp.asarray(Ynew))   # (S, N, D)
-        log_S = jnp.log(jnp.asarray(S, dtype=l.dtype))
-        return logsumexp(l - log_S, axis=0)
+            20, m_g, v_g, logspace=True, Y=jnp.asarray(Ynew))

