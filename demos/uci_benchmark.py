@@ -43,6 +43,7 @@ def main():
     dsd.set_default_float("float32")
     dsd.set_default_jitter(1e-5)
     config.solve_mode = "inverse"
+    config.matmul_precision = "highest"   # f32-TPU MC trajectories track f64 with HIGHEST conditional contractions (PERF.md round-2 precision experiment); cost is amortized at accuracy-run shapes
 
     try:
         data = Datasets(args.data_path).all_datasets[args.dataset] \
