@@ -92,6 +92,17 @@ SLOW_TESTS = {
     "test_gradients.py::test_kl_nonnegative_property",
     "test_solve_modes.py::"
     "test_inverse_mode_ill_conditioned_1d_f32_trains_like_solve",
+    # mid-size trims: each component keeps a cheaper oracle in the fast
+    # tier (e.g. TestQuad determinism, psi blocked/zero-var/cross-term
+    # oracles, pallas forward parity, FITC==GPR at Z=X)
+    "test_dgp.py::TestVsSingleLayer::test_bernoulli",
+    "test_dgp.py::TestQuad::test_quadrature_vs_mc",
+    "test_float32.py::test_collapsed_bound_variance_floor_f32",
+    "test_float32.py::"
+    "test_collapsed_conditional_variances_nonnegative_near_degenerate",
+    "test_psi_stats.py::test_random_sum_compositions_vs_quadrature",
+    "test_pallas_conditional.py::test_gradient_parity",
+    "test_single_layer_models.py::test_fitc_vs_dense_marginal",
 }
 
 
