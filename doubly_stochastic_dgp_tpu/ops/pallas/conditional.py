@@ -74,9 +74,18 @@ def _acc_t(dtype):
 
 
 def _gram_tile(x, z, kvar, at):
-    """kvar * exp(-0.5 ||x - z||^2) on the MXU, (TB, Mp)."""
+    """kvar * exp(-0.5 ||x - z||^2) on the MXU, (TB, Mp).
+
+    The cross term MUST run at HIGHEST matmul precision: Mosaic's
+    default lowers f32 dots to bf16-class MXU passes, and exp()
+    amplifies the resulting ~1e-2 absolute distance error into ~1e-2
+    mean error (measured on v5e: max rel 12.9 vs the elementwise-exact
+    XLA gram; training loss 19794 vs 2757 after 200 steps at M=256 —
+    PERF.md round-2 pallas numerics). The dot is 2*TB*M*Dx flops, ~Dx/M
+    of the variance contraction, so the multi-pass cost is noise."""
     cross = jax.lax.dot_general(x, z, (((1,), (1,)), ((), ())),
-                                preferred_element_type=at)
+                                preferred_element_type=at,
+                                precision=jax.lax.Precision.HIGHEST)
     xsq = jnp.sum(x * x, axis=1, keepdims=True)
     zsq = jnp.sum(z * z, axis=1, keepdims=True).T
     return kvar * jnp.exp(-0.5 * jnp.maximum(xsq + zsq - 2.0 * cross, 0.0))
@@ -106,11 +115,11 @@ def _fwd_body(d, x, z, alpha_ref, w_ref, kvar, kdiag,
         k_scr[:] = _gram_tile(x, z, kvar, at)
         mean_ref[:] = jnp.dot(
             k_scr[:], alpha_ref[:],
-            preferred_element_type=at).astype(mean_ref.dtype)
+            preferred_element_type=at, precision=jax.lax.Precision.HIGHEST).astype(mean_ref.dtype)
         var_ref[:] = jnp.zeros_like(var_ref)
 
     K = k_scr[:]
-    T = jnp.dot(K, w_ref[0], preferred_element_type=at)   # (TB, Mp)
+    T = jnp.dot(K, w_ref[0], preferred_element_type=at, precision=jax.lax.Precision.HIGHEST)   # (TB, Mp)
     var_d = jnp.maximum(kdiag + jnp.sum(K * T, axis=1), 0.0)
     onehot = _onehot_lane(d, var_ref.shape[1], var_d.dtype)
     var_ref[:] = var_ref[:] + (var_d[:, None] * onehot).astype(
@@ -244,12 +253,12 @@ def _bwd_body(d, i, xs_ref, zs_ref, alpha_ref, w_ref, gm_ref, gv_ref,
     onehot = _onehot_lane(d, gv_ref.shape[1], gv_ref.dtype)
     g_d = jnp.sum(gv_ref[:] * onehot, axis=1)       # (TB,)
 
-    T = jnp.dot(K, w_ref[0], preferred_element_type=at)     # (TB, Mp)
+    T = jnp.dot(K, w_ref[0], preferred_element_type=at, precision=jax.lax.Precision.HIGHEST)     # (TB, Mp)
     dK = 2.0 * g_d[:, None] * T
     # the mean term enters dK exactly once (on the d == 0 row)
     dK = dK + jnp.where(
         d == 0,
-        jnp.dot(gm, alpha_ref[:].T, preferred_element_type=at),
+        jnp.dot(gm, alpha_ref[:].T, preferred_element_type=at, precision=jax.lax.Precision.HIGHEST),
         jnp.zeros_like(dK))
 
     @pl.when(jnp.logical_and(d == 0, i == 0))
@@ -259,7 +268,8 @@ def _bwd_body(d, i, xs_ref, zs_ref, alpha_ref, w_ref, gm_ref, gv_ref,
     @pl.when(d == 0)
     def _():
         dalpha_ref[:] = (dalpha_ref[:]
-                         + jnp.dot(K.T, gm, preferred_element_type=at
+                         + jnp.dot(K.T, gm, preferred_element_type=at,
+                                   precision=jax.lax.Precision.HIGHEST
                                    ).astype(dalpha_ref.dtype))
 
     # dW_d = sum_tiles K^T diag(g_d) K
@@ -270,18 +280,18 @@ def _bwd_body(d, i, xs_ref, zs_ref, alpha_ref, w_ref, gm_ref, gv_ref,
 
     dw_ref[0] = (dw_ref[0]
                  + jnp.dot((K * g_d[:, None]).T, K,
-                           preferred_element_type=at).astype(dw_ref.dtype))
+                           preferred_element_type=at, precision=jax.lax.Precision.HIGHEST).astype(dw_ref.dtype))
 
     # chain through K = kvar * exp(-0.5 * dist)
     G = dK * (-0.5) * K                              # dL/d dist, (TB, Mp)
     rs = jnp.sum(G, axis=1, keepdims=True)           # (TB, 1)
     cs = jnp.sum(G, axis=0, keepdims=True)           # (1, Mp)
     dx_ref[0] = (2.0 * (x * rs
-                        - jnp.dot(G, z, preferred_element_type=at))
+                        - jnp.dot(G, z, preferred_element_type=at, precision=jax.lax.Precision.HIGHEST))
                  ).astype(dx_ref.dtype)
     dz_ref[0] = (dz_ref[0]
                  + 2.0 * (z * cs.T
-                          - jnp.dot(G.T, x, preferred_element_type=at)
+                          - jnp.dot(G.T, x, preferred_element_type=at, precision=jax.lax.Precision.HIGHEST)
                           ).astype(dz_ref.dtype))
 
 

@@ -36,9 +36,14 @@ def _gram_kernel(x_ref, z_ref, o_ref):
     x = x_ref[:]                      # (TN, D) pre-scaled by 1/ls
     z = z_ref[:]                      # (TM, D)
     acc_t = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+    # HIGHEST precision: Mosaic's default lowers f32 dots to bf16-class
+    # MXU passes and exp() amplifies the distance error to ~1e-2 in K
+    # (measured, see ops/pallas/conditional.py::_gram_tile); the cross
+    # dot is D/M of the tile's flops so multi-pass cost is noise.
     cross = jax.lax.dot_general(
         x, z, (((1,), (1,)), ((), ())),
-        preferred_element_type=acc_t)                # (TN, TM) on the MXU
+        preferred_element_type=acc_t,
+        precision=jax.lax.Precision.HIGHEST)         # (TN, TM) on the MXU
     xsq = jnp.sum(x * x, axis=1, keepdims=True)      # (TN, 1)
     zsq = jnp.sum(z * z, axis=1, keepdims=True).T    # (1, TM)
     d = jnp.maximum(xsq + zsq - 2.0 * cross, 0.0)
