@@ -333,12 +333,20 @@ class SVGPLayer(Layer):
         return mean + self.mean_function(X), var
 
     def _conditional_fused(self, X):
-        """Fused Pallas path: the whole gram->mean/var pipeline runs as
-        one tiled TPU kernel (ops/pallas/conditional.py).  Valid for RBF
-        (optionally + White) kernels, diagonal covariance.
+        """Fused Pallas path: the whole gram->staging->mean/var pipeline
+        runs as one tiled TPU kernel (ops/pallas/conditional.py).  Valid
+        for RBF (optionally + White) kernels, diagonal covariance.
         ``use_pallas='saved'`` routes to the save-gram variant (the
         backward consumes the forward's gram residual instead of
-        recomputing)."""
+        recomputing).
+
+        STAGED factors (round-2 numerics fix): the kernel consumes
+        LiT = Lu^{-T}, alpha = Li q_mu, W = Li SK Li^T and computes
+        G = K LiT in-kernel — the same staging as the XLA 'inverse'
+        path.  The previous P = Kuu^{-1} contract carried cond^2
+        dynamic range and made f32 training through the fused layer
+        silently diverge once the optimizer sharpened Kuu (measured:
+        loss 27023 vs 2142 after 300 Adam steps at M=256)."""
         from ..ops.pallas.conditional import (fused_conditional,
                                               fused_conditional_saved)
 
@@ -346,9 +354,12 @@ class SVGPLayer(Layer):
         Ku, Lu = self._chol_Kuu()
         SK = self._SK(Ku)
         Li = inv_lower(Lu)
-        P = Li if self.white else Li.T @ Li
-        alpha = P.T @ self.q_mu.value                          # (M, D)
-        W = jnp.einsum("ij,djk,lk->dil", P.T, SK, P.T)         # (D, M, M)
+        if self.white:
+            alpha = self.q_mu.value                            # (M, D)
+            W = SK                                             # (D|1,M,M)
+        else:
+            alpha = Li @ self.q_mu.value                       # (M, D)
+            W = jnp.einsum("ij,djk,lk->dil", Li, SK, Li)       # (D, M, M)
         ls = rbf.lengthscales.value
         Xs = X / ls
         Zs = self.Z.value / ls
@@ -358,7 +369,7 @@ class SVGPLayer(Layer):
         fc = (fused_conditional_saved
               if self.use_pallas in ("saved", "auto_saved")
               else fused_conditional)
-        mean, var = fc(Xs, Zs, alpha, W, kvar, kdiag, interpret)
+        mean, var = fc(Xs, Zs, Li.T, alpha, W, kvar, kdiag, interpret)
         return mean + self.mean_function(X), var
 
     def KL(self):

@@ -36,27 +36,30 @@ def main():
     rng = np.random.RandomState(0)
     # Do > 4 at M=1024: the backward's W_d + accumulating dW_d double
     # buffers exceed VMEM; the shape gate excludes that corner
-    for M in ((100, 128, 256, 512) if Do > 4 else (100, 128, 256, 512, 1024)):
+    # M capped at 512: the staged backward keeps four (Mp, Mp) blocks
+    # VMEM-resident (see pallas_profitable)
+    for M in (100, 128, 256, 512):
         Xs = jnp.asarray(rng.randn(B, Dx), jnp.float32)
         Zs = jnp.asarray(rng.randn(M, Dx), jnp.float32)
+        LiT = jnp.asarray(np.eye(M) + 0.05 * rng.randn(M, M), jnp.float32)
         alpha = jnp.asarray(rng.randn(M, Do) * 0.1, jnp.float32)
         W = jnp.asarray(rng.randn(Do, M, M) * 0.01, jnp.float32)
         kvar = jnp.float32(1.0)
         kdiag = jnp.float32(1.0)
         G = jnp.asarray(rng.randn(B, Do), jnp.float32)
 
-        def loss_pl(Xs, Zs, alpha, W, kvar, kdiag):
-            m, v = fused_conditional(Xs, Zs, alpha, W, kvar, kdiag)
+        def loss_pl(Xs, Zs, LiT, alpha, W, kvar, kdiag):
+            m, v = fused_conditional(Xs, Zs, LiT, alpha, W, kvar, kdiag)
             return jnp.sum(m * G) + jnp.sum(v * G)
 
-        def loss_ref(Xs, Zs, alpha, W, kvar, kdiag):
-            m, v = fused_conditional_reference(Xs, Zs, alpha, W, kvar,
-                                               kdiag)
+        def loss_ref(Xs, Zs, LiT, alpha, W, kvar, kdiag):
+            m, v = fused_conditional_reference(Xs, Zs, LiT, alpha, W,
+                                               kvar, kdiag)
             return jnp.sum(m * G) + jnp.sum(v * G)
 
-        args = (Xs, Zs, alpha, W, kvar, kdiag)
-        g_pl = jax.jit(jax.grad(loss_pl, argnums=(0, 2, 3)))
-        g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 2, 3)))
+        args = (Xs, Zs, LiT, alpha, W, kvar, kdiag)
+        g_pl = jax.jit(jax.grad(loss_pl, argnums=(0, 2, 3, 4)))
+        g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 2, 3, 4)))
         t_pl = timeit(g_pl, *args)
         t_ref = timeit(g_ref, *args)
         print(f"M={M}: fused {t_pl:.2f} ms  xla {t_ref:.2f} ms  "

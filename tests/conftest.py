@@ -89,6 +89,8 @@ SLOW_TESTS = {
     "test_likelihoods.py::TestMultiClass::test_prob_is_largest_vs_mc",
     "test_pallas_gram.py::test_gradient_parity",
     "test_pallas_conditional.py::test_gradient_parity_with_clamp_active",
+    "test_pallas_conditional.py::test_gradient_parity_multi_tile",
+    "test_fused_layer.py::test_fused_ill_conditioned_1d_f32_trains_like_solve",
     "test_gradients.py::test_kl_nonnegative_property",
     "test_solve_modes.py::"
     "test_inverse_mode_ill_conditioned_1d_f32_trains_like_solve",
