@@ -221,6 +221,53 @@ def run_matrix(args, X, Y):
     return rows
 
 
+SERVING_S = 100          # the reference eval loop: S=100 mixture samples
+SERVING_BATCH = 1000     # the reference streaming-eval batch
+
+
+def run_serving(args, X, Y):
+    """Prediction-path throughput on the headline 5-layer model: jitted
+    predict_y / predict_density at the reference's streaming-eval shape
+    (1000-row batches, S=100 — run_regression.py's test loop and
+    evaluate_regression's contract).  Reports points/sec and per-batch
+    latency; serving is the other half of the production story and is
+    NOT dispatch-amortizable by lax.scan (one request = one dispatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    model = build_regression(X, Y, args.layers, 100, args.num_samples)
+    B = min(SERVING_BATCH, X.shape[0])
+    Xs = jnp.asarray(X[:B])
+    Ys = jnp.asarray(Y[:B])
+    key = jax.random.PRNGKey(0)
+
+    py = jax.jit(lambda m, x, k: m.predict_y(x, SERVING_S, key=k))
+    pd = jax.jit(lambda m, x, y, k: m.predict_density(x, y, SERVING_S,
+                                                      key=k))
+    rows = []
+    for name, fn, fnargs in [
+            ("serve_predict_y", py, (model, Xs, key)),
+            ("serve_predict_density", pd, (model, Xs, Ys, key))]:
+        o = fn(*fnargs)
+        jax.tree_util.tree_leaves(o)[0].block_until_ready()
+        n = 30
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for i in range(n):
+                o = fn(*fnargs)
+            jax.tree_util.tree_leaves(o)[0].block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / n)
+        rows.append({
+            "name": name, "batch": B, "S": SERVING_S,
+            "latency_ms": round(best * 1e3, 2),
+            "points_per_sec": round(B / best, 1),
+        })
+        print(f"# {name}: {best * 1e3:.2f} ms/batch, "
+              f"{B / best:.0f} points/s", file=sys.stderr, flush=True)
+    return rows
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=300)
@@ -277,6 +324,7 @@ def main():
     }
     if not args.no_matrix:
         out["matrix"] = run_matrix(args, X, Y)
+        out["serving"] = run_serving(args, X, Y)
     print(json.dumps(out))
 
 

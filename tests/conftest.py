@@ -58,6 +58,7 @@ SLOW_FILES = {
 }
 SLOW_TESTS = {
     "test_bench.py::test_graft_dryrun_multichip",
+    "test_bench.py::test_bench_serving_rows_tiny",
     "test_real_data_path.py::test_run_regression_cli_on_cached_csv",
     "test_float32.py::test_f32_elbo_tracks_f64",
     "test_float32.py::test_f32_training_finite_while_escalation_fires",

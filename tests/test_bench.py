@@ -47,6 +47,24 @@ def test_bench_build_and_measure_tiny():
     assert bench.achievable_ceiling(128) == bench.F32_MATMUL_CEILING
 
 
+def test_bench_serving_rows_tiny(monkeypatch):
+    sys.path.insert(0, REPO)
+    import bench
+
+    args = argparse.Namespace(steps=2, batch=32, layers=2, num_samples=2,
+                              pallas=False, inner_steps=1, with_cpu=False)
+    bench._set_numerics(args)
+    X, Y, _ = bench._regression_data()
+    monkeypatch.setattr(bench, "SERVING_S", 3)
+    monkeypatch.setattr(bench, "SERVING_BATCH", 32)
+    rows = bench.run_serving(args, X[:128], Y[:128])
+    assert {r["name"] for r in rows} == {"serve_predict_y",
+                                         "serve_predict_density"}
+    for r in rows:
+        assert r["latency_ms"] > 0
+        assert r["points_per_sec"] > 0
+
+
 def test_graft_entry():
     sys.path.insert(0, REPO)
     import __graft_entry__ as g
