@@ -244,20 +244,34 @@ def run_serving(args, X, Y):
     py = jax.jit(lambda m, x, k: m.predict_y(x, SERVING_S, key=k))
     pd = jax.jit(lambda m, x, y, k: m.predict_density(x, y, SERVING_S,
                                                       key=k))
+
+    # Timing methodology (tunneled-TPU pitfall, PERF.md round-2): on
+    # the axon backend block_until_ready under-reports for repeated
+    # same-program calls; only a host readback is a reliable sync.  So
+    # every call gets a unique key (unique execution) and the loop is
+    # closed with a scalar readback whose round-trip cost is measured
+    # separately and subtracted.
+    def sync(o):
+        return float(jnp.sum(jax.tree_util.tree_leaves(o)[0][0]))
+
     rows = []
     for name, fn, fnargs in [
-            ("serve_predict_y", py, (model, Xs, key)),
-            ("serve_predict_density", pd, (model, Xs, Ys, key))]:
-        o = fn(*fnargs)
-        jax.tree_util.tree_leaves(o)[0].block_until_ready()
-        n = 30
-        best = float("inf")
+            ("serve_predict_y", py, (model, Xs)),
+            ("serve_predict_density", pd, (model, Xs, Ys))]:
+        o = fn(*fnargs, jax.random.fold_in(key, 0))
+        rtt = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
+            sync(o)
+            rtt = min(rtt, time.perf_counter() - t0)
+        n = 30
+        best = float("inf")
+        for r in range(3):
+            t0 = time.perf_counter()
             for i in range(n):
-                o = fn(*fnargs)
-            jax.tree_util.tree_leaves(o)[0].block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / n)
+                o = fn(*fnargs, jax.random.fold_in(key, 1 + r * n + i))
+            sync(o)
+            best = min(best, (time.perf_counter() - t0 - rtt) / n)
         rows.append({
             "name": name, "batch": B, "S": SERVING_S,
             "latency_ms": round(best * 1e3, 2),

@@ -15,19 +15,36 @@ from doubly_stochastic_dgp_tpu.ops.pallas.conditional import (
     fused_conditional, fused_conditional_reference)
 
 
-def timeit(f, *args, n=50, repeats=3):
-    """Best-of-repeats mean ms per call (the tunneled chip shows ~30%
-    run-to-run noise; min filters scheduler/tunnel hiccups)."""
+def timeit(f, *args, n=400, repeats=3):
+    """Best-of-repeats mean ms per call.
+
+    Tunneled-TPU methodology (PERF.md round-2 measurement pitfall):
+    block_until_ready under-reports for repeated same-program calls on
+    the axon backend, so every call perturbs its first argument by an
+    iteration-dependent epsilon (unique execution, numerically
+    negligible) and the loop is closed with a scalar host readback
+    whose round-trip cost is measured separately and subtracted."""
+    x0 = args[0]
     o = f(*args)
-    jax.tree_util.tree_leaves(o)[0].block_until_ready()
+
+    def sync(o):
+        return float(jnp.sum(jax.tree_util.tree_leaves(o)[0].ravel()[0]))
+
+    rtt = min(_t(lambda: sync(o)) for _ in range(3))
     best = float("inf")
-    for _ in range(repeats):
+    for r in range(repeats):
         t0 = time.perf_counter()
-        for _ in range(n):
-            o = f(*args)
-        jax.tree_util.tree_leaves(o)[0].block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / n * 1e3)
+        for i in range(n):
+            o = f(x0 + (r * n + i) * 1e-12, *args[1:])
+        sync(o)
+        best = min(best, (time.perf_counter() - t0 - rtt) / n * 1e3)
     return best
+
+
+def _t(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
 
 
 def main():

@@ -15,13 +15,30 @@ import optax
 
 
 def timeit(f, *args, n=30):
-    o = f(*args)
-    jax.tree_util.tree_leaves(o)[0].block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(n):
-        o = f(*args)
-    jax.tree_util.tree_leaves(o)[0].block_until_ready()
-    return (time.perf_counter() - t0) / n * 1e3
+    """Mean ms per call.  Tunneled-TPU methodology (PERF.md round-2
+    pitfall): block_until_ready under-reports for repeated same-program
+    calls on the axon backend, so each call gets a unique PRNG key
+    (last positional arg) and the loop is closed with a scalar host
+    readback whose round-trip cost is subtracted."""
+    *head, key = args
+
+    def sync(o):
+        return float(jnp.sum(jax.tree_util.tree_leaves(o)[0].ravel()[0]))
+
+    o = f(*head, key)
+    rtt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(o)
+        rtt = min(rtt, time.perf_counter() - t0)
+    best = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        for i in range(n):
+            o = f(*head, jax.random.fold_in(key, r * n + i))
+        sync(o)
+        best = min(best, (time.perf_counter() - t0 - rtt) / n * 1e3)
+    return best
 
 
 def main():
