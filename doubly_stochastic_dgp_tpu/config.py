@@ -65,10 +65,15 @@ class Config:
     # opt-in infrastructure with exact parity tests.
     use_pallas: object = False
     # Matmul precision for the SVGP conditional's contractions
-    # ('default' | 'highest').  TPU f32 matmuls run at bf16-class
-    # precision by default; 'highest' forces the 3-pass f32 algorithm
-    # inside conditional_ND — the round-2 knob for the f32-vs-f64 MC
-    # trajectory experiment (round-1 VERDICT weak #2).  Snapshotted at
+    # ('default' | 'mixed' | 'highest').  TPU f32 matmuls run at
+    # bf16-class precision by default; 'highest' forces the 3-pass f32
+    # algorithm on every contraction inside conditional_ND — the
+    # round-2 knob for the f32-vs-f64 MC trajectory experiment
+    # (round-1 VERDICT weak #2).  'mixed' (staged-inverse mode only)
+    # runs just the precision-critical staging contractions at HIGHEST
+    # and the dominant per-batch one at default — near-'highest'
+    # trajectories at a fraction of the cost (see
+    # models/layers.py::SVGPLayer.conditional_ND).  Snapshotted at
     # build time like solve_mode; flip with with_config(m,
     # precision=...).
     matmul_precision: str = "default"

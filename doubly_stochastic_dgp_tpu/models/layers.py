@@ -256,12 +256,23 @@ class SVGPLayer(Layer):
                       sequential triangular solves entirely.
 
         ``precision='highest'`` runs every contraction in here (grams,
-        G/W/T, mean/var) with 3-pass-f32 matmuls — the f32-TPU
+        staging, mean/var) with 3-pass-f32 matmuls — the f32-TPU
         trajectory-accuracy mode (see PERF.md round-2 precision
-        experiment).
+        experiment).  ``precision='mixed'`` (round-2, staged-inverse
+        only) runs just the *staging* contractions (G = Li Kuf, alpha,
+        C = Li q_sqrt, mean) at HIGHEST and leaves the dominant
+        per-batch contraction H = C^T G at the default precision: in
+        the sum-of-squares variance form (below) H only enters through
+        the small ||H||^2 term, so its bf16-class error is relative to
+        a small quantity instead of absolute at Kff scale — near-
+        'highest' trajectories at a fraction of the cost (HIGHEST on
+        ~1/(1+D_out) of the flops).  Outside the staged diag branch,
+        'mixed' falls back to full 'highest'.
         """
-        if self.precision != "default":
-            with jax.default_matmul_precision(self.precision):
+        if self.precision == "highest" or (
+                self.precision == "mixed"
+                and (self.solve_mode != "inverse" or full_cov)):
+            with jax.default_matmul_precision("highest"):
                 return self._conditional_ND_impl(X, full_cov)
         return self._conditional_ND_impl(X, full_cov)
 
@@ -281,37 +292,53 @@ class SVGPLayer(Layer):
 
         Ku, Lu = self._chol_Kuu()
         Kuf = self.kern.K(self.Z.value, X)                     # (M, B)
-        SK = self._SK(Ku)
 
         if self.solve_mode == "inverse" and not full_cov:
             # Staged inverse: apply Lu^{-1} one triangular factor at a
-            # time (G = Li Kuf, W~ = Li SK Li^T) instead of forming
-            # P = Ku^{-1} and W = P SK P.  Mathematically identical,
-            # but the explicit P carries cond(Ku)^2 dynamic range in
-            # one object — measured: a 1-D RBF layer (near-collinear
-            # Z => cond(Ku) ~ 1e7) silently *diverged* in f32 inverse
-            # mode with the P-form while 'solve' and float64 converged;
-            # the staged form keeps intermediates at cond(Lu) scale and
-            # tracks 'solve' closely.  All ops remain MXU matmuls.
+            # time (G = Li Kuf) instead of forming P = Ku^{-1} — the
+            # explicit P carries cond(Ku)^2 dynamic range in one object
+            # and silently diverged f32 training on ill-conditioned 1-D
+            # layers (see test_inverse_mode_ill_conditioned_1d_f32...).
+            # Variance in SUM-OF-SQUARES form (round-2): with
+            # C = Li q_sqrt (or q_sqrt when white),
+            #   Li SK Li^T = C C^T - I  (exactly: Li Ku Li^T = I), so
+            #   var = Kff - colsum(G*G) + colsum(H*H),   H = C^T G.
+            # Numerically this isolates the catastrophic cancellation
+            # (Kff ~ colsum(G*G) when X nears Z) in G alone — the
+            # dominant D_out-batched contraction H only contributes a
+            # small quadratic term, so 'mixed' precision can leave it
+            # at the fast default.  All ops remain MXU matmuls.
+            prec = (jax.lax.Precision.HIGHEST
+                    if self.precision == "mixed" else None)
             Li = inv_lower(Lu)                                 # (M, M)
-            G = Li @ Kuf                                       # (M, B)
+            G = jnp.matmul(Li, Kuf, precision=prec)            # (M, B)
             if self.white:
                 alpha = self.q_mu.value                        # (M, D)
-                W = SK                                         # (D|1,M,M)
+                C = (None if self.q_sqrt is None
+                     else self.q_sqrt.value)                   # (D, M, M)
             else:
-                alpha = Li @ self.q_mu.value                   # (M, D)
-                W = jnp.einsum("ij,djk,lk->dil", Li, SK, Li)   # (D, M, M)
-            mean = G.T @ alpha                                 # (B, D)
-            # flatten the D_out batch into one (D*M, M) @ (M, B) matmul:
-            # one large MXU op instead of D small batched ones
-            D_, M_, _ = W.shape
-            T = (W.reshape(D_ * M_, M_) @ G).reshape(
-                D_, M_, G.shape[1])                            # (D, M, B)
-            delta_cov = jnp.einsum("ib,dib->db", G, T)         # (D, B)
+                alpha = jnp.matmul(Li, self.q_mu.value,
+                                   precision=prec)             # (M, D)
+                C = (None if self.q_sqrt is None
+                     else jnp.einsum("ij,djk->dik", Li,
+                                     self.q_sqrt.value,
+                                     precision=prec))          # (D, M, M)
+            mean = jnp.matmul(G.T, alpha, precision=prec)      # (B, D)
             Kff = self.kern.Kdiag(X)
-            var = jnp.maximum((Kff[None] + delta_cov).T, 0.0)  # (B, D)
+            resid = Kff - jnp.sum(G * G, axis=0)               # (B,)
+            if C is None:
+                var = resid[:, None]                           # (B, 1)
+            else:
+                # flatten the D_out batch into one (D*M, M) @ (M, B)
+                # matmul: one large MXU op instead of D small ones
+                D_, M_, _ = C.shape
+                CT = jnp.swapaxes(C, -1, -2).reshape(D_ * M_, M_)
+                H = (CT @ G).reshape(D_, M_, G.shape[1])       # (D, M, B)
+                var = resid[:, None] + jnp.sum(H * H, axis=1).T
+            var = jnp.maximum(var, 0.0)                        # (B, D|1)
             return mean + self.mean_function(X), var
 
+        SK = self._SK(Ku)
         A = tri_solve(Lu, Kuf, lower=True, mode=self.solve_mode)
         if not self.white:
             A = tri_solve(Lu, A, lower=True, trans=True,

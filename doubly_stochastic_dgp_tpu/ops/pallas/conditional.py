@@ -74,16 +74,17 @@ def pallas_profitable(M, Do, B):
     numerics (HIGHEST in-kernel dots + the staged contract) the fused
     kernel loses to XLA end-to-end at every shape measured (0.62-0.65x,
     scripts/bench_large_m.py — the custom-VJP call is a fusion barrier
-    and XLA reuses the gram as a saved residual) and nearly everywhere
-    isolated (scripts/probe_crossover.py round-2 re-measure: 1.18x at
-    M=128/Do=1, <=0.94x elsewhere; the earlier "1.2-1.7x win region"
-    was substantially an artifact of bf16-class in-kernel dots), which
-    is why ``config.use_pallas`` defaults to False.  'auto' (this gate)
-    remains for standalone conditional workloads near the one measured
-    isolated win.  M is capped at 512: the staged backward keeps four
-    (Mp, Mp) blocks (W_d, LiT, dW_d, dLiT) VMEM-resident, which passes
-    ~16 MB at M = 1024."""
-    return Do <= 2 and 128 <= M <= 512 and B >= 2048
+    and XLA reuses the gram as a saved residual), which is why
+    ``config.use_pallas`` defaults to False.  Isolated
+    (scripts/probe_crossover.py with the corrected unique-dispatch +
+    readback-sync timing, PERF.md round-2): M=128/M=256 sit *within
+    tunnel noise* of XLA (0.92-1.73x across repeat runs), M=512 is a
+    clear loss (0.38-0.54x) — so the gate now stops at 256.  'auto'
+    remains for standalone conditional workloads in the
+    within-noise-or-better band.  (Kernel hard cap is M=512 anyway:
+    the staged backward keeps four (Mp, Mp) blocks (W_d, LiT, dW_d,
+    dLiT) VMEM-resident, which passes ~16 MB at M = 1024.)"""
+    return Do <= 2 and 128 <= M <= 256 and B >= 2048
 
 
 def _tile_b(Mp, bwd=False):

@@ -169,3 +169,47 @@ def test_precision_knob_pins_highest_and_matches_f64():
     md, vd = layer_d.conditional_ND(X)
     assert_allclose(np.asarray(mh), np.asarray(md), rtol=1e-12)
     assert_allclose(np.asarray(vh), np.asarray(vd), rtol=1e-12)
+
+
+@pytest.mark.parametrize("white", [True, False])
+def test_precision_mixed_staged_inverse(white):
+    """precision='mixed' (round-2): HIGHEST on the staging contractions
+    (G = Li Kuf, alpha, C = Li q_sqrt, mean) of the staged-inverse
+    branch, default on the dominant per-batch H = C^T G.  Checks: (a)
+    f64 values match 'default' and 'highest' exactly (pure precision
+    annotation, same math), (b) the jaxpr pins strictly more HIGHEST
+    dots than 'default' and strictly fewer than 'highest' (the H matmul
+    stays fast), (c) the variance is the sum-of-squares form: >= 0 by
+    construction before the clamp."""
+    import jax
+
+    np.random.seed(1)
+    M, B, Din, Dout = 8, 6, 3, 2
+    Z = np.random.randn(M, Din)
+    X = jnp.asarray(np.random.randn(B, Din))
+    kern = RBF.make(Din, variance=1.1, lengthscales=0.7)
+    layer = SVGPLayer.make(kern, Z, Dout, Zero(output_dim=Dout),
+                           white=white, solve_mode="inverse")
+    layer = layer.replace(
+        q_mu=layer.q_mu.with_value(np.random.randn(M, Dout)),
+        q_sqrt=layer.q_sqrt.with_value(
+            np.tril(np.random.randn(Dout, M, M)) + np.eye(M)))
+
+    counts = {}
+    outs = {}
+    for p in ("default", "mixed", "highest"):
+        lp = layer.replace(precision=p)
+        jaxpr = str(jax.make_jaxpr(lambda x: lp.conditional_ND(x))(X))
+        counts[p] = jaxpr.upper().count("HIGHEST")
+        outs[p] = lp.conditional_ND(X)
+
+    # f64: identical math, precision annotations are no-ops on values
+    for p in ("mixed", "highest"):
+        assert_allclose(np.asarray(outs[p][0]),
+                        np.asarray(outs["default"][0]), rtol=1e-12)
+        assert_allclose(np.asarray(outs[p][1]),
+                        np.asarray(outs["default"][1]), rtol=1e-12)
+    # mixed pins more than default (staging) but fewer than highest
+    # (H and the kernel gram's internal dots stay default-precision)
+    assert counts["default"] < counts["mixed"] < counts["highest"], counts
+    assert np.all(np.asarray(outs["mixed"][1]) >= 0.0)
