@@ -19,9 +19,16 @@ flop model of the staged-inverse conditional, and % of the
 *achievable* f32 ceiling (66 TFLOP/s x the (M/Mpad)^2 128-lane padding
 efficiency — the PERF.md roofline method).
 
+Round-2 precision policy: the headline (and matrix) run at the
+framework-default matmul precision 'mixed' — f64-class training
+trajectories at ~15% cost over the bf16-class 'default' path (PERF.md
+precision experiments).  The JSON also carries a "throughput_mode" row
+measuring the same step at precision='default' (the r01 headline
+contract) for cross-round comparability.
+
 Prints ONE JSON line:
   {"metric": ..., "value": steps/sec, "unit": "steps/sec",
-   "vs_baseline": ratio, "matrix": [...]}
+   "vs_baseline": ratio, "matrix": [...], "throughput_mode": {...}}
 
 vs_baseline is measured against the GPflow/TF1 CPU reference's training
 rate for the headline config.  The reference's own published throughput
@@ -303,6 +310,7 @@ def main():
     args = p.parse_args()
 
     import jax
+    from doubly_stochastic_dgp_tpu.config import config
     _enable_compile_cache()
     _set_numerics(args)
     X, Y, real = _regression_data()
@@ -311,6 +319,20 @@ def main():
     model = build_regression(X, Y, args.layers, 100, args.num_samples)
     rate, loss, _ = measure(model, args.batch, args.steps,
                             inner_steps=args.inner_steps)
+
+    # throughput mode: the same step at precision='default' (the
+    # bf16-class matmul path; the r01 headline contract).  The headline
+    # above runs the framework default precision ('mixed' — f64-class
+    # trajectories, see PERF.md); this row keeps the max-throughput
+    # number comparable across rounds.  Fresh build: the scanned train
+    # step donates the model's buffers on TPU, so the measured model
+    # must not be reused.
+    from doubly_stochastic_dgp_tpu import with_config
+    tp_model = with_config(
+        build_regression(X, Y, args.layers, 100, args.num_samples),
+        precision="default")
+    tp_rate, tp_loss, _ = measure(tp_model, args.batch, args.steps,
+                                  inner_steps=args.inner_steps)
 
     baseline = CPU_BASELINE_STEPS_PER_SEC
     if args.with_cpu:
@@ -335,6 +357,13 @@ def main():
         "tflops_sustained": round(flops * rate / 1e12, 2),
         "mfu_pct_of_achievable": round(
             100 * flops * rate / achievable_ceiling(100), 1),
+        "precision": config.matmul_precision,
+        "throughput_mode": {
+            "precision": "default",
+            "steps_per_sec": round(tp_rate, 3),
+            "vs_baseline": round(tp_rate / baseline, 3),
+            "final_loss": round(tp_loss, 3),
+        },
     }
     if not args.no_matrix:
         out["matrix"] = run_matrix(args, X, Y)

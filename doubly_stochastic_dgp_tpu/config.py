@@ -66,17 +66,22 @@ class Config:
     use_pallas: object = False
     # Matmul precision for the SVGP conditional's contractions
     # ('default' | 'mixed' | 'highest').  TPU f32 matmuls run at
-    # bf16-class precision by default; 'highest' forces the 3-pass f32
-    # algorithm on every contraction inside conditional_ND — the
-    # round-2 knob for the f32-vs-f64 MC trajectory experiment
-    # (round-1 VERDICT weak #2).  'mixed' (staged-inverse mode only)
-    # runs just the precision-critical staging contractions at HIGHEST
-    # and the dominant per-batch one at default — near-'highest'
-    # trajectories at a fraction of the cost (see
-    # models/layers.py::SVGPLayer.conditional_ND).  Snapshotted at
+    # bf16-class precision in 'default' mode, which measurably degrades
+    # f32 MC training trajectories vs the f64 reference (~0.5 nats of
+    # held-out loglik at 3k iters on the Damianou DGP2 config — PERF.md
+    # precision experiments); 'highest' forces the 3-pass f32 algorithm
+    # on every contraction inside conditional_ND (f64-class
+    # trajectories, ~37-43% steps/s cost at throughput shapes).
+    # 'mixed' — the DEFAULT — runs just the precision-critical staging
+    # contractions (G = Li Kuf, alpha, C, mean) at HIGHEST and leaves
+    # the dominant D_out-batched contraction at the fast default; with
+    # the sum-of-squares variance form this matches f64/'highest'
+    # trajectories within seed noise at ~15% steps/s cost (measured,
+    # PERF.md round-2).  Use 'default' as an explicit max-throughput
+    # knob when trajectory fidelity is not the goal.  Snapshotted at
     # build time like solve_mode; flip with with_config(m,
     # precision=...).
-    matmul_precision: str = "default"
+    matmul_precision: str = "mixed"
 
 
 # A single process-global Config: setters and temp_config mutate this one
