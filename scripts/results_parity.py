@@ -220,6 +220,10 @@ def main():
     write_report(args, payload)
 
 
+APPENDIX_MARKER = ("<!-- MANUAL APPENDIX — preserved verbatim by "
+                   "results_parity.py -->")
+
+
 def write_report(args, payload):
     results = payload["results"]
     real = payload["real_data"]
@@ -269,8 +273,18 @@ def write_report(args, payload):
             "BASELINE.md); offline this uses the compositional "
             "synthetic where the same qualitative structure holds.",
         ]
+    # Preserve hand-curated analysis: everything from the appendix
+    # marker onward in the existing report survives regeneration.
+    appendix = ""
+    try:
+        prev = open(args.out).read()
+        idx = prev.find(APPENDIX_MARKER)
+        if idx >= 0:
+            appendix = "\n" + prev[idx:].rstrip() + "\n"
+    except OSError:
+        pass
     with open(args.out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + appendix)
     print(json.dumps(payload))
     for desc, ok in checks:
         print(("PASS " if ok else "FAIL ") + desc, flush=True)
