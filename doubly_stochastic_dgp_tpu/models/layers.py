@@ -180,8 +180,11 @@ class SVGPLayer(Layer):
     solve_mode: str = static_field(default="solve")
     # False | True | "auto" (shape-gated, TPU only)
     use_pallas: Any = static_field(default=False)
-    # 'default' | 'highest': matmul precision inside conditional_ND
-    # (TPU f32 default matmuls are bf16-class; see config.py)
+    # 'default' | 'mixed' | 'highest': matmul precision inside
+    # conditional_ND (TPU f32 default matmuls are bf16-class; see
+    # config.py — the *config* default is 'mixed', snapshotted here at
+    # make(); this dataclass default only applies to direct
+    # construction that bypasses make()).
     precision: str = static_field(default="default")
 
     @classmethod

@@ -191,6 +191,8 @@ def main():
     p.add_argument("--families", nargs="+", default=list(FAMILIES))
     p.add_argument("--scale", type=float, default=1.0,
                    help="iteration-budget multiplier (0.01 for smoke)")
+    p.add_argument("--precision", default=None,
+                   help="override config.matmul_precision for the sweep")
     args = p.parse_args()
 
     import jax
@@ -201,6 +203,8 @@ def main():
         dsd.set_default_float("float32")
         dsd.set_default_jitter(1e-5)
         config.solve_mode = "inverse"
+    if args.precision is not None:
+        config.matmul_precision = args.precision
     print(json.dumps({"backend": jax.default_backend(),
                       "precision": config.matmul_precision,
                       "solve_mode": config.solve_mode}), flush=True)
