@@ -208,9 +208,10 @@ def run_matrix(args, X, Y):
         else:
             model = build_regression(X, Y, L, M, S)
             B = min(batch, X.shape[0])
+        # flops from the pytree BEFORE measure() donates its buffers
+        flops = step_flops(model, M, S, B)
         rate, loss, _ = measure(model, B, args.matrix_steps,
                                 inner_steps=args.matrix_inner_steps)
-        flops = step_flops(model, M, S, B)
         sustained = flops * rate
         rows.append({
             "name": name, "layers": L, "M": M, "S": S, "batch": B,
@@ -252,33 +253,18 @@ def run_serving(args, X, Y):
     pd = jax.jit(lambda m, x, y, k: m.predict_density(x, y, SERVING_S,
                                                       key=k))
 
-    # Timing methodology (tunneled-TPU pitfall, PERF.md round-2): on
-    # the axon backend block_until_ready under-reports for repeated
-    # same-program calls; only a host readback is a reliable sync.  So
-    # every call gets a unique key (unique execution) and the loop is
-    # closed with a scalar readback whose round-trip cost is measured
-    # separately and subtracted.
-    def sync(o):
-        return float(jnp.sum(jax.tree_util.tree_leaves(o)[0][0]))
+    # Timing methodology (tunneled-TPU pitfall, PERF.md round-2):
+    # unique-input dispatch + scalar-readback sync with RTT
+    # subtraction, owned by utils/timing.py.
+    from doubly_stochastic_dgp_tpu.utils.timing import timed_per_call
 
     rows = []
     for name, fn, fnargs in [
             ("serve_predict_y", py, (model, Xs)),
             ("serve_predict_density", pd, (model, Xs, Ys))]:
-        o = fn(*fnargs, jax.random.fold_in(key, 0))
-        rtt = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            sync(o)
-            rtt = min(rtt, time.perf_counter() - t0)
-        n = 30
-        best = float("inf")
-        for r in range(3):
-            t0 = time.perf_counter()
-            for i in range(n):
-                o = fn(*fnargs, jax.random.fold_in(key, 1 + r * n + i))
-            sync(o)
-            best = min(best, (time.perf_counter() - t0 - rtt) / n)
+        best = timed_per_call(
+            lambda i, fn=fn, fnargs=fnargs:
+                fn(*fnargs, jax.random.fold_in(key, 1 + i)))
         rows.append({
             "name": name, "batch": B, "S": SERVING_S,
             "latency_ms": round(best * 1e3, 2),
@@ -317,6 +303,8 @@ def main():
     platform = jax.devices()[0].platform
 
     model = build_regression(X, Y, args.layers, 100, args.num_samples)
+    # flops from the pytree BEFORE measure() donates its buffers
+    flops = step_flops(model, 100, args.num_samples, args.batch)
     rate, loss, _ = measure(model, args.batch, args.steps,
                             inner_steps=args.inner_steps)
 
@@ -344,7 +332,6 @@ def main():
                                      max(10, args.steps // 10),
                                      inner_steps=args.inner_steps)
 
-    flops = step_flops(model, 100, args.num_samples, args.batch)
     out = {
         "metric": "elbo_steps_per_sec (kin8nm-shape, 5-layer DGP, "
                   "M=100, S=10, batch=1000)",

@@ -11,6 +11,7 @@ covariance products are einsums that map straight onto the MXU.
 
 from __future__ import annotations
 
+from contextlib import nullcontext as _nullcontext
 from typing import Any, Optional
 
 import jax
@@ -381,15 +382,28 @@ class SVGPLayer(Layer):
                                               fused_conditional_saved)
 
         rbf, white_var = _fusable_rbf(self.kern)
-        Ku, Lu = self._chol_Kuu()
-        SK = self._SK(Ku)
-        Li = inv_lower(Lu)
-        if self.white:
-            alpha = self.q_mu.value                            # (M, D)
-            W = SK                                             # (D|1,M,M)
-        else:
-            alpha = Li @ self.q_mu.value                       # (M, D)
-            W = jnp.einsum("ij,djk,lk->dil", Li, SK, Li)       # (D, M, M)
+        # The staging factors (Li, alpha, W) are exactly the
+        # cancellation-critical contractions that 'mixed' pins at
+        # HIGHEST on the XLA path; the in-kernel dots are always
+        # HIGHEST, so match the contract here too ('highest' is already
+        # wrapped one level up in conditional_ND).
+        prec_ctx = (jax.default_matmul_precision("highest")
+                    if self.precision == "mixed" else _nullcontext())
+        with prec_ctx:
+            Ku, Lu = self._chol_Kuu()
+            SK = self._SK(Ku)
+            Li = inv_lower(Lu)
+            if self.white:
+                alpha = self.q_mu.value                        # (M, D)
+                W = SK                                         # (D|1,M,M)
+            else:
+                alpha = Li @ self.q_mu.value                   # (M, D)
+                W = jnp.einsum("ij,djk,lk->dil", Li, SK, Li)   # (D, M, M)
+        if W.shape[0] == 1 and alpha.shape[1] > 1:
+            # q_sqrt=None (e.g. SGPMC) gives a broadcast (1, M, M) core;
+            # the kernel's d-indexed BlockSpec needs it materialized per
+            # output (the XLA paths broadcast implicitly).
+            W = jnp.broadcast_to(W, (alpha.shape[1],) + W.shape[1:])
         ls = rbf.lengthscales.value
         Xs = X / ls
         Zs = self.Z.value / ls

@@ -122,16 +122,22 @@ def _onehot_lane(d, Do, dtype):
 
 
 def _fwd_body(d, x, z, lit_ref, alpha_ref, w_ref, kvar, kdiag,
-              mean_ref, var_ref, g_scr):
+              mean_ref, var_ref, g_scr, k_ref=None):
     """Shared forward step: at d == 0 compute the staged tile
     G = K LiT once into the VMEM scratch (it persists across the fast
     d axis) and emit the mean; every d accumulates its variance
-    column."""
+    column.  With ``k_ref`` (the save_gram variant) the gram tile is
+    additionally written to HBM — and read back so the staging dot
+    consumes exactly the stored values the backward will see — instead
+    of being recomputed there (round-1 VERDICT next-step #7)."""
     at = _acc_t(x.dtype)
 
     @pl.when(d == 0)
     def _():
         K = _gram_tile(x, z, kvar, at)
+        if k_ref is not None:
+            k_ref[:] = K.astype(k_ref.dtype)
+            K = k_ref[:].astype(at)
         g_scr[:] = jnp.dot(K, lit_ref[:], preferred_element_type=at,
                            precision=_PREC)
         mean_ref[:] = jnp.dot(g_scr[:], alpha_ref[:],
@@ -159,29 +165,10 @@ def _fwd_kernel(xs_ref, zs_ref, lit_ref, alpha_ref, w_ref, scal_ref,
 
 def _fwd_kernel_sg(xs_ref, zs_ref, lit_ref, alpha_ref, w_ref, scal_ref,
                    mean_ref, var_ref, k_ref, g_scr):
-    """save_gram variant: additionally writes the gram tile K to HBM so
-    the backward can consume it instead of recomputing (round-1 VERDICT
-    next-step #7)."""
     d = pl.program_id(1)
-    at = _acc_t(xs_ref.dtype)
-
-    @pl.when(d == 0)
-    def _():
-        k_ref[:] = _gram_tile(xs_ref[:], zs_ref[:], scal_ref[0, 0],
-                              at).astype(k_ref.dtype)
-        g_scr[:] = jnp.dot(k_ref[:].astype(at), lit_ref[:],
-                           preferred_element_type=at, precision=_PREC)
-        mean_ref[:] = jnp.dot(g_scr[:], alpha_ref[:],
-                              preferred_element_type=at,
-                              precision=_PREC).astype(mean_ref.dtype)
-        var_ref[:] = jnp.zeros_like(var_ref)
-
-    G = g_scr[:]
-    T = jnp.dot(G, w_ref[0], preferred_element_type=at, precision=_PREC)
-    var_d = jnp.maximum(scal_ref[0, 1] + jnp.sum(G * T, axis=1), 0.0)
-    onehot = _onehot_lane(d, var_ref.shape[1], var_d.dtype)
-    var_ref[:] = var_ref[:] + (var_d[:, None] * onehot).astype(
-        var_ref.dtype)
+    _fwd_body(d, xs_ref[:], zs_ref[:], lit_ref, alpha_ref, w_ref,
+              scal_ref[0, 0], scal_ref[0, 1], mean_ref, var_ref, g_scr,
+              k_ref=k_ref)
 
 
 def _fused_forward(Xs, Zs, LiT, alpha, W, kvar, kdiag, interpret=False,

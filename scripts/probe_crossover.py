@@ -2,7 +2,6 @@
 (inducing count), forward+backward, B=8192.  Identifies the regime
 where VMEM fusion beats XLA's HBM-materialized intermediates."""
 import sys
-import time
 
 import numpy as np
 
@@ -16,35 +15,15 @@ from doubly_stochastic_dgp_tpu.ops.pallas.conditional import (
 
 
 def timeit(f, *args, n=400, repeats=3):
-    """Best-of-repeats mean ms per call.
+    """Best-of-repeats mean ms per call (tunneled-TPU methodology of
+    utils/timing.py; uniqueness = an iteration-dependent epsilon on the
+    first argument, numerically negligible)."""
+    from doubly_stochastic_dgp_tpu.utils.timing import timed_per_call
 
-    Tunneled-TPU methodology (PERF.md round-2 measurement pitfall):
-    block_until_ready under-reports for repeated same-program calls on
-    the axon backend, so every call perturbs its first argument by an
-    iteration-dependent epsilon (unique execution, numerically
-    negligible) and the loop is closed with a scalar host readback
-    whose round-trip cost is measured separately and subtracted."""
     x0 = args[0]
-    o = f(*args)
-
-    def sync(o):
-        return float(jnp.sum(jax.tree_util.tree_leaves(o)[0].ravel()[0]))
-
-    rtt = min(_t(lambda: sync(o)) for _ in range(3))
-    best = float("inf")
-    for r in range(repeats):
-        t0 = time.perf_counter()
-        for i in range(n):
-            o = f(x0 + (r * n + i) * 1e-12, *args[1:])
-        sync(o)
-        best = min(best, (time.perf_counter() - t0 - rtt) / n * 1e3)
-    return best
-
-
-def _t(f):
-    t0 = time.perf_counter()
-    f()
-    return time.perf_counter() - t0
+    return timed_per_call(
+        lambda i: f(x0 + (i + 1) * 1e-12, *args[1:]),
+        n=n, repeats=repeats) * 1e3
 
 
 def main():

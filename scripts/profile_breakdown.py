@@ -3,7 +3,6 @@ forward, value_and_grad, and the full Adam step separately (each jitted
 alone), plus per-layer-count scaling — identifies where the step budget
 goes without needing a trace viewer."""
 import sys
-import time
 
 import numpy as np
 
@@ -15,30 +14,13 @@ import optax
 
 
 def timeit(f, *args, n=30):
-    """Mean ms per call.  Tunneled-TPU methodology (PERF.md round-2
-    pitfall): block_until_ready under-reports for repeated same-program
-    calls on the axon backend, so each call gets a unique PRNG key
-    (last positional arg) and the loop is closed with a scalar host
-    readback whose round-trip cost is subtracted."""
+    """Mean ms per call (tunneled-TPU methodology of utils/timing.py;
+    uniqueness = a fold_in'd PRNG key as the last positional arg)."""
+    from doubly_stochastic_dgp_tpu.utils.timing import timed_per_call
+
     *head, key = args
-
-    def sync(o):
-        return float(jnp.sum(jax.tree_util.tree_leaves(o)[0].ravel()[0]))
-
-    o = f(*head, key)
-    rtt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sync(o)
-        rtt = min(rtt, time.perf_counter() - t0)
-    best = float("inf")
-    for r in range(3):
-        t0 = time.perf_counter()
-        for i in range(n):
-            o = f(*head, jax.random.fold_in(key, r * n + i))
-        sync(o)
-        best = min(best, (time.perf_counter() - t0 - rtt) / n * 1e3)
-    return best
+    return timed_per_call(
+        lambda i: f(*head, jax.random.fold_in(key, i + 1)), n=n) * 1e3
 
 
 def main():

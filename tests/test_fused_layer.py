@@ -121,3 +121,52 @@ def test_fused_ill_conditioned_1d_f32_trains_like_solve():
     assert l_p < f_p, (f_p, l_p)                    # actually improves
     # and lands in the XLA staged path's class, not the divergent regime
     assert l_p < 2.0 * abs(l_s) + 100.0, (l_p, l_s)
+
+
+def test_fused_q_sqrt_none_multioutput_matches_xla():
+    """q_sqrt=None (SGPMC-style) gives a broadcast (1, M, M) covariance
+    core; the fused path must materialize it per output dim — the
+    kernel's d-indexed BlockSpec would otherwise read out-of-range
+    blocks for d >= 1 (garbage variance columns)."""
+    from doubly_stochastic_dgp_tpu import SGPMCLayer, with_config
+
+    np.random.seed(1)
+    M, B, Din, Dout = 10, 32, 3, 3
+    Z = np.random.randn(M, Din)
+    X = jnp.asarray(np.random.randn(B, Din))
+    kern = RBF.make(Din, lengthscales=0.8)
+    for white in (True, False):
+        layer = SGPMCLayer.make(kern, Z, Dout, white=white,
+                                solve_mode="inverse")
+        layer = layer.replace(
+            q_mu=layer.q_mu.with_value(np.random.randn(M, Dout)))
+        m_ref, v_ref = with_config(layer, use_pallas=False
+                                   ).conditional_ND(X)
+        m_pl, v_pl = with_config(layer, use_pallas=True
+                                 ).conditional_ND(X)
+        # the XLA path leaves the q_sqrt=None variance broadcastable at
+        # (B, 1); the fused kernel materializes (B, Dout) — same values
+        assert m_pl.shape == (B, Dout) and v_pl.shape == (B, Dout)
+        assert_allclose(np.asarray(m_pl), np.asarray(m_ref), rtol=1e-8)
+        assert_allclose(np.asarray(v_pl),
+                        np.broadcast_to(np.asarray(v_ref), (B, Dout)),
+                        rtol=1e-8, atol=1e-12)
+
+
+def test_fused_mixed_precision_pins_highest_staging():
+    """Under the framework-default precision='mixed', the fused path's
+    staging prep (Li, alpha, W) must run at HIGHEST like the XLA
+    'inverse' path — the jaxpr must carry strictly more HIGHEST
+    annotations than at precision='default'."""
+    from doubly_stochastic_dgp_tpu import with_config
+
+    m = _model()
+    layer = with_config(m.layers[-1], use_pallas=True,
+                        solve_mode="inverse")
+    X = jnp.asarray(np.random.RandomState(0).rand(16, 3))
+    counts = {}
+    for p in ("default", "mixed"):
+        lp = layer.replace(precision=p)
+        jaxpr = str(jax.make_jaxpr(lambda x: lp.conditional_ND(x))(X))
+        counts[p] = jaxpr.upper().count("HIGHEST")
+    assert counts["mixed"] > counts["default"] > 0
