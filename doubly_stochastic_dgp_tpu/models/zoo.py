@@ -124,9 +124,23 @@ class DGPHeteroscedastic(DGPBase):
     shape (S, N, 2*D): columns [:D] are the mean head f, columns [D:]
     the pre-softplus log-noise head g.  Use ``predict_y`` /
     ``predict_density`` for quantities in y-space.
+
+    ``min_noise`` floors the per-point noise variance.  The default
+    1e-4 is a *conditioning* choice, not an f32 artifact (measured on
+    the stress sweep's hetero family, f32 and f64 alike): with a 1e-6
+    floor, any transient spike in the noise head's variance v_g makes
+    the outer Gauss-Hermite grid probe g-nodes where softplus
+    underflows to the floor, so the integrand scales like
+    misfit/min_noise ~ 1e6 — a self-amplifying gradient spiral that
+    threw training from loss -297 to +1.3e6 in ten Adam steps (and
+    poisoned the Adam second moments for hundreds more).  At 1e-4 the
+    same run descends monotonically to a *better* optimum (-552 vs
+    -297 at 2k iters).  Noise variances below 1e-4 are far smaller
+    than realistic regression noise after normalization; lower the
+    floor explicitly if you need one.
     """
 
-    min_noise: float = static_field(default=1e-6)
+    min_noise: float = static_field(default=1e-4)
 
     def E_log_p_Y(self, X, Y, key):
         Fmean, Fvar = self._predict(X, key=key, full_cov=False,

@@ -395,3 +395,38 @@ def test_heinonen_hmc_end_to_end_posterior_predictive():
         # and the predictive mean tracks the underlying function
         rmse = float(np.sqrt(np.mean((mu_mix - f) ** 2)))
         assert rmse < 0.25, rmse
+
+
+def test_heteroscedastic_noise_floor_bounds_gh_blowup():
+    """The min_noise floor (default 1e-4) bounds the outer-GH integrand
+    when the noise head's variance spikes: with v_g large the extreme
+    GH nodes underflow softplus to the floor, so the worst per-point
+    log-density scales like -misfit/(2*min_noise).  The old 1e-6 floor
+    made that ~1e6 x misfit — the measured self-amplifying training
+    spiral (stress sweep hetero family: loss -297 -> +1.3e6 in ten
+    Adam steps)."""
+    np.random.seed(2)
+    N, D = 8, 2
+    X = np.random.randn(N, D)
+    Y = np.random.randn(N, 1)
+
+    from doubly_stochastic_dgp_tpu.models.initializations import \
+        init_layers_linear
+    kerns = [RBF.make(D), RBF.make(D)]
+    layers = init_layers_linear(X, Y, X[:4], kerns, num_outputs=2)
+    m = DGPHeteroscedastic.make(X, Y, Gaussian.make(0.05), layers,
+                                num_samples=3)
+    assert m.min_noise == 1e-4
+
+    S = 3
+    Fmean = np.zeros((S, N, 2))
+    Fvar = np.concatenate([np.full((S, N, 1), 0.01),
+                           np.full((S, N, 1), 30.0)], -1)  # v_g spike
+    ld = np.asarray(m.sample_log_densities(
+        jnp.asarray(Fmean), jnp.asarray(Fvar), jnp.asarray(Y)))
+    assert np.all(np.isfinite(ld))
+    # worst GH node: var >= min_noise => |logdens| <~ (max misfit^2 +
+    # v_f) / (2 * 1e-4) plus the log term; the 1e-6 floor would be
+    # ~100x worse
+    bound = (float(np.max(Y ** 2)) + 0.01) / (2 * 1e-4) + 10
+    assert np.min(ld) > -bound
