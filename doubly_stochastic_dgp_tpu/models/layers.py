@@ -274,7 +274,7 @@ class SVGPLayer(Layer):
         'mixed' falls back to full 'highest'.
         """
         if self.precision == "highest" or (
-                self.precision == "mixed"
+                self.precision in ("mixed", "mixed_g")
                 and (self.solve_mode != "inverse" or full_cov)):
             with jax.default_matmul_precision("highest"):
                 return self._conditional_ND_impl(X, full_cov)
@@ -312,10 +312,18 @@ class SVGPLayer(Layer):
             # dominant D_out-batched contraction H only contributes a
             # small quadratic term, so 'mixed' precision can leave it
             # at the fast default.  All ops remain MXU matmuls.
+            # 'mixed_g' (experimental sub-tier): HIGHEST on G alone —
+            # the one contraction whose error enters the variance
+            # cancellation at Kff scale; alpha/C/mean stay at the fast
+            # default.  'mixed' (the framework default) pins all four
+            # staging contractions.
             prec = (jax.lax.Precision.HIGHEST
                     if self.precision == "mixed" else None)
+            prec_g = (jax.lax.Precision.HIGHEST
+                      if self.precision in ("mixed", "mixed_g")
+                      else None)
             Li = inv_lower(Lu)                                 # (M, M)
-            G = jnp.matmul(Li, Kuf, precision=prec)            # (M, B)
+            G = jnp.matmul(Li, Kuf, precision=prec_g)          # (M, B)
             if self.white:
                 alpha = self.q_mu.value                        # (M, D)
                 C = (None if self.q_sqrt is None

@@ -1,8 +1,9 @@
-from . import checkpoint, hmc, loop, monitor, natgrad, optim
+from . import checkpoint, hmc, loop, monitor, natgrad, nuts, optim
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .hmc import (effective_sample_size, hmc_sample,
                   hmc_sample_chains,
                   potential_scale_reduction)
+from .nuts import nuts_sample, nuts_sample_chains
 from .loop import (evaluate_regression, fit, fit_dp,
                    make_natgrad_adam_step, make_sgd_train_step)
 from .monitor import JsonlLogger, PrintTimings

@@ -213,3 +213,29 @@ def test_precision_mixed_staged_inverse(white):
     # (H and the kernel gram's internal dots stay default-precision)
     assert counts["default"] < counts["mixed"] < counts["highest"], counts
     assert np.all(np.asarray(outs["mixed"][1]) >= 0.0)
+
+
+def test_mixed_g_tier_pins_g_only():
+    """The experimental 'mixed_g' sub-tier pins HIGHEST on strictly
+    fewer contractions than 'mixed' (G only vs G/alpha/C/mean) and
+    strictly more than 'default'; values are a pure no-op in f64."""
+    import jax
+    from doubly_stochastic_dgp_tpu.models.mean_functions import Zero
+
+    np.random.seed(0)
+    M, B, Din, Dout = 8, 6, 3, 2
+    Z = np.random.randn(M, Din)
+    X = jnp.asarray(np.random.randn(B, Din))
+    kern = RBF.make(Din, variance=1.1, lengthscales=0.7)
+    layer = SVGPLayer.make(kern, Z, Dout, Zero(output_dim=Dout),
+                           solve_mode="inverse")
+    counts, vals = {}, {}
+    for p in ("default", "mixed_g", "mixed"):
+        lp = layer.replace(precision=p)
+        jaxpr = str(jax.make_jaxpr(lambda x: lp.conditional_ND(x))(X))
+        counts[p] = jaxpr.upper().count("HIGHEST")
+        vals[p] = [np.asarray(v) for v in lp.conditional_ND(X)]
+    assert counts["mixed"] > counts["mixed_g"] > counts["default"] > 0
+    for p in ("mixed_g", "mixed"):
+        for a, b in zip(vals["default"], vals[p]):
+            assert_allclose(a, b, rtol=1e-12)
