@@ -8,6 +8,9 @@ ELBO + N(0,1) prior on the whitened q_mu (exactly the role of the
 q_mu Gaussian prior at reference layers.py:272), runs as one jitted
 lax.scan with dual-averaged step size, and the posterior predictive is
 the mixture over thinned draws.  Prints a JSON summary.
+
+``--sampler nuts`` swaps the fixed-length HMC kernel for the adaptive
+No-U-Turn sampler (training/nuts.py); same target, same diagnostics.
 """
 
 import argparse
@@ -27,6 +30,9 @@ def main():
     p.add_argument("--num-samples", type=int, default=500)
     p.add_argument("--num-burn", type=int, default=300)
     p.add_argument("--num-leapfrog", type=int, default=10)
+    p.add_argument("--sampler", choices=["hmc", "nuts"], default="hmc")
+    p.add_argument("--max-depth", type=int, default=7,
+                   help="NUTS doubling cap (ignored for hmc)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -59,11 +65,22 @@ def main():
     def freeze(path, param):          # sample only the inducing values
         return "q_mu" not in path
 
-    samples, acc, rebuild, info = hmc_sample(
-        model, log_post, jax.random.PRNGKey(args.seed),
-        num_samples=args.num_samples, num_burn=args.num_burn,
-        step_size=0.1, num_leapfrog=args.num_leapfrog, freeze=freeze,
-        adapt_step_size=True)
+    if args.sampler == "nuts":
+        from doubly_stochastic_dgp_tpu.training.nuts import nuts_sample
+        samples, acc, rebuild, info = nuts_sample(
+            model, log_post, jax.random.PRNGKey(args.seed),
+            num_samples=args.num_samples, num_burn=args.num_burn,
+            step_size=0.1, max_depth=args.max_depth, freeze=freeze)
+        step_size, extra = info["step_size"], {
+            "mean_tree_depth": round(info["mean_tree_depth"], 2),
+            "divergences": info["divergences"]}
+    else:
+        samples, acc, rebuild, info = hmc_sample(
+            model, log_post, jax.random.PRNGKey(args.seed),
+            num_samples=args.num_samples, num_burn=args.num_burn,
+            step_size=0.1, num_leapfrog=args.num_leapfrog,
+            freeze=freeze, adapt_step_size=True)
+        step_size, extra = info.step_size, {}
 
     thin = np.asarray(samples)[:: max(1, args.num_samples // 40)]
     predict = jax.jit(lambda v, x: rebuild(v).predict_y(x, S=1))
@@ -81,12 +98,14 @@ def main():
                      & (f_ref <= mu_mix + 1.96 * np.sqrt(var_mix)))
     ess = effective_sample_size(np.asarray(samples)[None])
     print(json.dumps({
+        "sampler": args.sampler,
         "accept_rate": round(float(acc), 3),
-        "adapted_step_size": round(float(info.step_size), 4),
+        "adapted_step_size": round(float(step_size), 4),
         "ess_min": int(ess.min()), "ess_median": int(np.median(ess)),
         "posterior_mean_rmse_vs_truth": round(float(
             np.sqrt(np.mean((mu_mix - f_ref) ** 2))), 4),
         "truth_coverage_95": round(float(inside), 3),
+        **extra,
     }, indent=2))
 
 

@@ -31,8 +31,11 @@ def _run(args, timeout=480):  # generous: xdist runs these under heavy
      "--inducing", "12"],
     ["demos/sgpmc.py", "--num-data", "30", "--num-inducing", "8",
      "--num-samples", "60", "--num-burn", "40"],
+    ["demos/sgpmc.py", "--sampler", "nuts", "--max-depth", "5",
+     "--num-data", "30", "--num-inducing", "8",
+     "--num-samples", "60", "--num-burn", "40"],
 ], ids=["step_function", "priors", "natural_gradients", "mnist",
-        "damianou", "sgpmc"])
+        "damianou", "sgpmc", "sgpmc_nuts"])
 def test_demo_runs(args):
     out = _run(args)
     assert "Traceback" not in out
