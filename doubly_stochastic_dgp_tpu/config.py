@@ -82,6 +82,12 @@ class Config:
     # build time like solve_mode; flip with with_config(m,
     # precision=...).
     matmul_precision: str = "mixed"
+    # Rematerialize each layer's conditional in the backward pass
+    # (jax.checkpoint in DGPBase.propagate): ~1 extra forward of FLOPs
+    # for O(L) fewer (S*B, M)-class saved intermediates in HBM — turn
+    # on for very large minibatch * S products.  Build-time snapshot
+    # like solve_mode; flip per model with with_config(m, remat=...).
+    remat: bool = False
 
 
 # A single process-global Config: setters and temp_config mutate this one

@@ -47,15 +47,24 @@ class DGPBase(Module):
     Y_data: Any = None          # (N, D_Y) training targets (buffer)
     num_samples: int = static_field(default=1)
     num_data: int = static_field(default=0)
+    # Rematerialize each layer's conditional in the backward pass
+    # (jax.checkpoint): trades ~1 extra forward of FLOPs for dropping
+    # the per-layer (S*B, M)-class intermediates from HBM — the lever
+    # for very large minibatch * S products.  Snapshotted from
+    # config.remat at make(); flip with with_config(m, remat=...).
+    remat: bool = static_field(default=False)
 
     @classmethod
     def make(cls, X, Y, likelihood, layers, num_samples=1, num_data=None,
-             **kwargs):
+             remat=None, **kwargs):
+        from ..config import config
         X = jnp.asarray(X, dtype=default_float())
         Y = jnp.asarray(Y, dtype=default_float())
+        remat = config.remat if remat is None else bool(remat)
         return cls(likelihood=likelihood, layers=list(layers),
                    X_data=X, Y_data=Y, num_samples=num_samples,
-                   num_data=int(num_data or X.shape[0]), **kwargs)
+                   num_data=int(num_data or X.shape[0]), remat=remat,
+                   **kwargs)
 
     # -- forward -------------------------------------------------------------
     def propagate(self, X, key=None, full_cov=False, S=1, zs=None):
@@ -73,9 +82,18 @@ class DGPBase(Module):
             zs = [None] * len(self.layers)
         keys = (jax.random.split(key, len(self.layers))
                 if key is not None else [None] * len(self.layers))
+        def call(layer, F, z, k):
+            return layer.sample_from_conditional(F, z=z, key=k,
+                                                 full_cov=full_cov)
+
+        if self.remat:
+            # recompute the conditional in the backward pass instead of
+            # storing its (S*B, M)-class intermediates; the in-layer
+            # PRNG draw re-derives from the same key, so values are
+            # bitwise-identical
+            call = jax.checkpoint(call)
         for layer, z, k in zip(self.layers, zs, keys):
-            F, Fmean, Fvar = layer.sample_from_conditional(
-                F, z=z, key=k, full_cov=full_cov)
+            F, Fmean, Fvar = call(layer, F, z, k)
             Fs.append(F)
             Fmeans.append(Fmean)
             Fvars.append(Fvar)

@@ -310,3 +310,38 @@ def test_effective_sample_size_iid_and_ar1():
     expect = C * S * (1 - phi) / (1 + phi)   # ~421
     assert 0.4 * expect < ess_ar[0] < 2.5 * expect, (ess_ar, expect)
     assert ess_ar[0] < 0.2 * C * S
+
+
+def test_remat_is_value_and_grad_exact_and_in_jaxpr():
+    """config.remat / with_config(m, remat=True) reruns each layer's
+    conditional in the backward pass (jax.checkpoint in propagate):
+    loss and gradients must match to f64 roundoff (the in-layer PRNG
+    draw re-derives from the same key; XLA may reschedule ops, so
+    last-bit wiggle is allowed), and the grad jaxpr must carry the
+    remat primitive."""
+    import jax
+    from doubly_stochastic_dgp_tpu import DGP, Gaussian, RBF, with_config
+
+    np.random.seed(3)
+    N, D, M = 40, 2, 8
+    X = np.random.rand(N, D)
+    Y = np.sin(X.sum(1, keepdims=True))
+    m = DGP.build(X, Y, X[:M].copy(), [RBF.make(D), RBF.make(D)],
+                  Gaussian.make(0.05), num_samples=3)
+    assert m.remat is False
+    mr = with_config(m, remat=True)
+    assert mr.remat is True
+
+    key = jax.random.PRNGKey(0)
+    loss = lambda mm: -mm.elbo(key=key)
+    l0, g0 = jax.value_and_grad(loss)(m)
+    l1, g1 = jax.value_and_grad(loss)(mr)
+    assert_allclose(float(l0), float(l1), rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9,
+                        atol=1e-12)
+
+    jaxpr_r = str(jax.make_jaxpr(jax.grad(loss))(mr))
+    jaxpr_p = str(jax.make_jaxpr(jax.grad(loss))(m))
+    assert "remat" in jaxpr_r and "remat" not in jaxpr_p
