@@ -205,7 +205,8 @@ def hmc_sample_chains(model, log_prob_fn: Callable, key,
                       num_leapfrog: int = 10, freeze=None,
                       adapt_step_size: bool = True,
                       target_accept: float = 0.8,
-                      init_jitter: float = 0.1):
+                      init_jitter: float = 0.1,
+                      mesh=None, chain_axis: str = None):
     """Multi-chain HMC: C chains advance in lockstep inside ONE jitted
     vmap'd scan — the TPU-native way to run MCMC (the per-chain
     gradient evaluations batch into (C, ...) tensor ops on the MXU
@@ -214,6 +215,11 @@ def hmc_sample_chains(model, log_prob_fn: Callable, key,
     dual averaging during burn-in; initial positions are the model's
     values perturbed by ``init_jitter``-scaled Gaussian noise
     (overdispersed starts, as split-R-hat assumes).
+
+    ``mesh`` shards the chain axis over a ``jax.sharding.Mesh``
+    (chains are independent — embarrassingly chain-parallel; each
+    device integrates its own chains with no per-step collectives).
+    ``num_chains`` must divide by the mesh axis size.
 
     Returns (samples (C, num_samples, P), accept_rates (C,), rebuild,
     info dict with per-chain step sizes and per-parameter split R-hat).
@@ -237,6 +243,10 @@ def hmc_sample_chains(model, log_prob_fn: Callable, key,
     chain_keys = jax.vmap(lambda k: jax.random.split(k, total))(
         jax.random.split(k_run, num_chains))
     lp0 = jax.vmap(logp)(q0)
+    if mesh is not None:
+        from .nuts import _shard_chain_dim
+        q0, lp0, chain_keys = _shard_chain_dim(
+            mesh, chain_axis, num_chains, q0, lp0, chain_keys)
 
     carry, qs = jax.jit(jax.vmap(run))(q0, lp0, chain_keys)
     _, lpf, acc, _, log_eps_bar, _ = carry

@@ -50,6 +50,22 @@ __all__ = ["nuts_sample", "nuts_sample_chains"]
 DIVERGENCE_THRESHOLD = 1000.0
 
 
+def _shard_chain_dim(mesh, chain_axis, num_chains, *arrays):
+    """Place each array's leading (chain) dim sharded over ``mesh``
+    (chains are independent — embarrassingly chain-parallel MCMC)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    ax = chain_axis or mesh.axis_names[0]
+    if num_chains % mesh.shape[ax] != 0:
+        raise ValueError(
+            f"num_chains={num_chains} must divide by mesh axis "
+            f"'{ax}' size {mesh.shape[ax]}")
+    return tuple(
+        jax.device_put(a, NamedSharding(
+            mesh, PartitionSpec(*([ax] + [None] * (a.ndim - 1)))))
+        for a in arrays)
+
+
 def _uturn(span, r_a, r_b):
     """Generalized U-turn criterion for a trajectory span: the span's
     momentum sum no longer points along either end's momentum."""
@@ -280,14 +296,21 @@ def nuts_sample_chains(model, log_prob_fn: Callable, key,
                        max_depth: int = 8, freeze=None,
                        adapt_step_size: bool = True,
                        target_accept: float = 0.8,
-                       init_jitter: float = 0.1):
+                       init_jitter: float = 0.1,
+                       mesh=None, chain_axis: str = None):
     """Multi-chain NUTS: C chains advance in lockstep inside ONE jitted
     vmap'd scan (the same TPU-native batching as
     :func:`.hmc.hmc_sample_chains`); each chain adapts its own step
     size and grows its own trees (frozen chains wait inside the
     while_loop's fixed-shape state).  Returns (samples (C, S, P),
     accept_stats (C,), rebuild, info with per-chain step sizes /
-    divergence counts, split R-hat, and ESS)."""
+    divergence counts, split R-hat, and ESS).
+
+    ``mesh`` shards the chain axis over a ``jax.sharding.Mesh``
+    (chains are independent, so MCMC is embarrassingly
+    chain-parallel): each device integrates its own chains; the only
+    collective is the while_loop's batched continue-predicate
+    reduction.  ``num_chains`` must divide by the mesh axis size."""
     flat0, rebuild = partition_trainable(model, freeze=freeze)
 
     def logp(v):
@@ -305,6 +328,9 @@ def nuts_sample_chains(model, log_prob_fn: Callable, key,
               k_init, (num_chains, flat0.shape[0]), dtype=dtype))
     chain_keys = jax.vmap(lambda k: jax.random.split(k, total))(
         jax.random.split(k_run, num_chains))
+    if mesh is not None:
+        q0, chain_keys = _shard_chain_dim(mesh, chain_axis, num_chains,
+                                          q0, chain_keys)
 
     carry, qs, alphas = jax.jit(jax.vmap(run))(q0, chain_keys)
     _, _, log_eps_bar, _, n_div, sum_depth = carry

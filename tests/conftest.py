@@ -55,6 +55,7 @@ def _seed():
 SLOW_FILES = {
     "test_parallel.py", "test_outdim.py", "test_dp_collapsed.py",
     "test_demos.py", "test_fused_layer.py", "test_multihost.py",
+    "test_mcmc_mesh.py",
 }
 SLOW_TESTS = {
     "test_bench.py::test_graft_dryrun_multichip",
