@@ -39,7 +39,8 @@ from ..ops.linalg import reparameterize
 from ..utils.modules import static_field
 
 __all__ = ["outdim_specs", "outdim_shard", "outdim_elbo",
-           "make_outdim_train_step", "elbo_2d", "make_2d_train_step"]
+           "make_outdim_train_step", "elbo_2d", "make_2d_train_step",
+           "elbo_3d", "make_3d_train_step"]
 
 
 class ShardedIdentity(MeanFunction):
