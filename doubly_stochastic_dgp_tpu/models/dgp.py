@@ -224,6 +224,7 @@ class DGPQuad(DGPBase):
         return cls(likelihood=base.likelihood, layers=base.layers,
                    X_data=base.X_data, Y_data=base.Y_data,
                    num_samples=1, num_data=base.num_data,
+                   remat=base.remat,
                    gh_x=zs, gh_w=jnp.asarray(gh_w, dtype=default_float()),
                    H=H, D_quad=D_quad)
 

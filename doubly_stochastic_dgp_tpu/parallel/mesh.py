@@ -15,8 +15,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "replicate", "shard_along", "pad_to_multiple",
-           "initialize_distributed"]
+__all__ = ["make_mesh", "replicate", "shard_along", "shard_chains",
+           "pad_to_multiple", "initialize_distributed"]
 
 
 def make_mesh(num_devices: Optional[int] = None, axis: str = "data",
@@ -40,6 +40,25 @@ def shard_along(x, mesh: Mesh, axis: str = "data", dim: int = 0):
     spec = [None] * x.ndim
     spec[dim] = axis
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def shard_chains(mesh: Mesh, chain_axis: Optional[str], num_chains: int,
+                 *arrays):
+    """Place each array's leading (chain) dim sharded over ``mesh``.
+
+    For embarrassingly chain-parallel MCMC (``training.hmc`` /
+    ``training.nuts``): chains are independent, so the chain axis
+    shards with no per-step collectives.  ``num_chains`` must divide
+    the mesh axis size."""
+    ax = chain_axis or mesh.axis_names[0]
+    if num_chains % mesh.shape[ax] != 0:
+        raise ValueError(
+            f"num_chains={num_chains} must divide by mesh axis "
+            f"'{ax}' size {mesh.shape[ax]}")
+    return tuple(
+        jax.device_put(a, NamedSharding(
+            mesh, P(*([ax] + [None] * (a.ndim - 1)))))
+        for a in arrays)
 
 
 def pad_to_multiple(X, m: int, axis: int = 0):

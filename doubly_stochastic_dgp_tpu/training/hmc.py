@@ -244,8 +244,8 @@ def hmc_sample_chains(model, log_prob_fn: Callable, key,
         jax.random.split(k_run, num_chains))
     lp0 = jax.vmap(logp)(q0)
     if mesh is not None:
-        from .nuts import _shard_chain_dim
-        q0, lp0, chain_keys = _shard_chain_dim(
+        from ..parallel.mesh import shard_chains
+        q0, lp0, chain_keys = shard_chains(
             mesh, chain_axis, num_chains, q0, lp0, chain_keys)
 
     carry, qs = jax.jit(jax.vmap(run))(q0, lp0, chain_keys)

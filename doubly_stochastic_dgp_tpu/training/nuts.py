@@ -50,22 +50,6 @@ __all__ = ["nuts_sample", "nuts_sample_chains"]
 DIVERGENCE_THRESHOLD = 1000.0
 
 
-def _shard_chain_dim(mesh, chain_axis, num_chains, *arrays):
-    """Place each array's leading (chain) dim sharded over ``mesh``
-    (chains are independent — embarrassingly chain-parallel MCMC)."""
-    from jax.sharding import NamedSharding, PartitionSpec
-
-    ax = chain_axis or mesh.axis_names[0]
-    if num_chains % mesh.shape[ax] != 0:
-        raise ValueError(
-            f"num_chains={num_chains} must divide by mesh axis "
-            f"'{ax}' size {mesh.shape[ax]}")
-    return tuple(
-        jax.device_put(a, NamedSharding(
-            mesh, PartitionSpec(*([ax] + [None] * (a.ndim - 1)))))
-        for a in arrays)
-
-
 def _uturn(span, r_a, r_b):
     """Generalized U-turn criterion for a trajectory span: the span's
     momentum sum no longer points along either end's momentum."""
@@ -104,11 +88,12 @@ def _make_nuts_runner(logp_grad, dtype, num_samples, num_burn,
                 zeros_ck, zeros_ck,                    # r_ckpt, psum_before
                 jnp.asarray(False), jnp.asarray(False),
                 jnp.zeros((), dtype),                  # sum_alpha
+                jnp.zeros((), dtype),                  # n_eval leaves
                 key)
 
         def body(i, carry):
             (z, r, g, lp, z_prop, lw_sub, cum, r_ck, ps_ck,
-             turning, diverging, sum_alpha, key) = carry
+             turning, diverging, sum_alpha, n_eval, key) = carry
 
             def live(_):
                 zn, rn, gn, lpn = leapfrog(z, r, g, eps)
@@ -137,15 +122,15 @@ def _make_nuts_runner(logp_grad, dtype, num_samples, num_burn,
                 z_prop_n = jnp.where(take, zn, z_prop)
                 return (zn, rn, gn, lpn, z_prop_n, lw_n, cum_n,
                         r_ck_n, ps_ck_n, turning_n, diverging | bad,
-                        sum_alpha + alpha, key_n)
+                        sum_alpha + alpha, n_eval + 1.0, key_n)
 
             return jax.lax.cond(turning | diverging, lambda _: carry,
                                 live, None)
 
         (z, r, g, lp, z_prop, lw_sub, cum, _, _, turning, diverging,
-         sum_alpha, _) = jax.lax.fori_loop(0, n_leaf, body, init)
+         sum_alpha, n_eval, _) = jax.lax.fori_loop(0, n_leaf, body, init)
         return ((z, r, g, lp), z_prop, lw_sub, cum, turning, diverging,
-                sum_alpha)
+                sum_alpha, n_eval)
 
     def trajectory(q, key, eps):
         """One NUTS transition; returns (q_new, mean_alpha, depth,
@@ -176,8 +161,8 @@ def _make_nuts_runner(logp_grad, dtype, num_samples, num_burn,
             eps_signed = jnp.where(go_right, eps, -eps)
             n_leaf = jnp.left_shift(1, s["depth"])
             (edge_n, z_sub, lw_sub, p_sub, turn_sub, div_sub,
-             sum_a) = build_subtree(kb, edge, n_leaf, eps_signed,
-                                    lw_ref)
+             sum_a, n_eval) = build_subtree(kb, edge, n_leaf, eps_signed,
+                                            lw_ref)
             ok = ~turn_sub & ~div_sub
             # biased progressive sampling across the doubling
             take = (jnp.log(jax.random.uniform(ka, dtype=dtype))
@@ -198,8 +183,12 @@ def _make_nuts_runner(logp_grad, dtype, num_samples, num_burn,
                 left=left, right=right, z_prop=z_prop, lw_tot=lw_tot,
                 p_sum=p_sum, depth=s["depth"] + 1, turning=turning,
                 diverging=s["diverging"] | div_sub,
+                # acceptance statistic over EVALUATED leaves only: a
+                # subtree frozen by an early U-turn/divergence must not
+                # count its never-integrated leaves as zero acceptance
+                # (that would bias dual averaging below target_accept)
                 sum_alpha=s["sum_alpha"] + sum_a,
-                n_alpha=s["n_alpha"] + n_leaf.astype(dtype), key=key)
+                n_alpha=s["n_alpha"] + n_eval, key=key)
 
         s = jax.lax.while_loop(cond, doubling, state)
         mean_alpha = s["sum_alpha"] / jnp.maximum(s["n_alpha"], 1.0)
@@ -329,8 +318,9 @@ def nuts_sample_chains(model, log_prob_fn: Callable, key,
     chain_keys = jax.vmap(lambda k: jax.random.split(k, total))(
         jax.random.split(k_run, num_chains))
     if mesh is not None:
-        q0, chain_keys = _shard_chain_dim(mesh, chain_axis, num_chains,
-                                          q0, chain_keys)
+        from ..parallel.mesh import shard_chains
+        q0, chain_keys = shard_chains(mesh, chain_axis, num_chains,
+                                      q0, chain_keys)
 
     carry, qs, alphas = jax.jit(jax.vmap(run))(q0, chain_keys)
     _, _, log_eps_bar, _, n_div, sum_depth = carry

@@ -345,3 +345,12 @@ def test_remat_is_value_and_grad_exact_and_in_jaxpr():
     jaxpr_r = str(jax.make_jaxpr(jax.grad(loss))(mr))
     jaxpr_p = str(jax.make_jaxpr(jax.grad(loss))(m))
     assert "remat" in jaxpr_r and "remat" not in jaxpr_p
+
+    # every builder honors the config snapshot (DGPQuad.build used to
+    # drop it on the floor)
+    from doubly_stochastic_dgp_tpu.config import temp_config
+    from doubly_stochastic_dgp_tpu.models.dgp import DGPQuad
+    with temp_config(remat=True):
+        mq = DGPQuad.build(m.X_data, m.Y_data, Gaussian.make(0.05),
+                           list(m.layers), H=3)
+    assert mq.remat is True
