@@ -275,6 +275,7 @@ def nuts_sample(model, log_prob_fn: Callable, key,
         "step_size": final_eps,
         "divergences": int(n_div),
         "mean_tree_depth": float(sum_depth) / total,
+        "ess": effective_sample_size(np.asarray(samples)[None]),
     }
     return samples, accept_stat, rebuild, info
 
