@@ -129,23 +129,12 @@ def main():
 
 def _evaluate(model, Xs, Ys):
     """Predictive class probabilities, S=25 samples, 1000-row batches
-    (reference demo_mnist.ipynb cell 11)."""
-    import jax
-    import numpy as np
+    (reference demo_mnist.ipynb cell 11) — the library metric."""
+    from doubly_stochastic_dgp_tpu.training.loop import \
+        evaluate_classification
 
-    predict = jax.jit(lambda m, x, k: m.predict_y(x, S=25, key=k))
-    key = jax.random.PRNGKey(0)
-    correct, lls = 0, []
-    B = 1000
-    for mb in range(-(-len(Xs) // B)):
-        x = Xs[mb * B:(mb + 1) * B]
-        y = Ys[mb * B:(mb + 1) * B]
-        m, v = predict(model, x, jax.random.fold_in(key, mb))
-        probs = np.asarray(m).mean(0)
-        correct += int((probs.argmax(1) == y[:, 0]).sum())
-        lls.append(np.log(np.maximum(
-            probs[np.arange(len(y)), y[:, 0].astype(int)], 1e-12)))
-    return correct / len(Xs), float(np.concatenate(lls).mean())
+    r = evaluate_classification(model, Xs, Ys, S=25, batch_size=1000)
+    return r["accuracy"], r["loglik"]
 
 
 if __name__ == "__main__":

@@ -294,6 +294,36 @@ def evaluate_regression(model, Xs, Ys, Y_std, S: int = 100,
             "loglik": float(test_loglik)}
 
 
+def evaluate_classification(model, Xs, Ys, S: int = 25,
+                            batch_size: int = 1000, seed: int = 0):
+    """Streaming test accuracy and mean log predictive probability for
+    classification models, with the reference MNIST notebook's
+    definitions (demo_mnist.ipynb cell 11): class probabilities are the
+    S-sample average of ``predict_y`` means (the robust-max MultiClass
+    likelihood returns class probabilities), accuracy is the argmax
+    match, and loglik is log p(true class) clamped at 1e-12.  ``Ys``
+    holds integer class labels of shape (N, 1)."""
+    Xs = np.asarray(Xs)
+    Ys = np.asarray(Ys)
+    key = jax.random.PRNGKey(seed)
+    predict = jax.jit(lambda m, x, k: m.predict_y(x, S=S, key=k))
+    correct, lls = 0, []
+    for mb in range(-(-len(Xs) // batch_size)):
+        x = jnp.asarray(Xs[mb * batch_size:(mb + 1) * batch_size])
+        y = Ys[mb * batch_size:(mb + 1) * batch_size]
+        m, _ = predict(model, x, jax.random.fold_in(key, mb))
+        m = np.asarray(m)
+        if m.ndim == 2:   # models that squeeze the sample axis
+            m = m[None]
+        probs = m.mean(0)
+        correct += int((probs.argmax(1) == y[:, 0]).sum())
+        lls.append(np.log(np.maximum(
+            probs[np.arange(len(y)), y[:, 0].astype(int)], 1e-12)))
+    loglik = float(np.concatenate(lls).mean())
+    return {"accuracy": correct / len(Xs), "loglik": loglik,
+            "nll": -loglik}
+
+
 def fit_dp(model, mesh, iterations: int, learning_rate: float = 0.01,
            batch_size: Optional[int] = None, seed: int = 0,
            axis: str = "data", sample_axis: Optional[str] = None,

@@ -1,6 +1,8 @@
 """Training-harness tests: SGD/minibatch fit, alternating natgrad+Adam,
 L-BFGS, checkpoint roundtrip, HMC, and the regression metrics."""
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -354,3 +356,42 @@ def test_remat_is_value_and_grad_exact_and_in_jaxpr():
         mq = DGPQuad.build(m.X_data, m.Y_data, Gaussian.make(0.05),
                            list(m.layers), H=3)
     assert mq.remat is True
+
+
+class _ProbPredictor(Module):
+    """predict_y returns fixed class probabilities (test stub)."""
+    probs: Any = None
+
+    def predict_y(self, x, S, key=None):
+        # the row's first feature indexes the stored prob table (keeps
+        # the stub batching-invariant)
+        idx = x[:, 0].astype(jnp.int32)
+        p = self.probs[idx]
+        return jnp.tile(p[None], (S, 1, 1)), jnp.zeros(
+            (S, x.shape[0], p.shape[1]))
+
+
+def test_evaluate_classification_accuracy_and_loglik():
+    """Library classification metrics (the MNIST notebook's cell-11
+    definitions): accuracy from argmax of sample-averaged probs,
+    loglik = mean log p(true class)."""
+    from doubly_stochastic_dgp_tpu.training.loop import \
+        evaluate_classification
+
+    probs = jnp.asarray([[0.7, 0.2, 0.1],
+                         [0.1, 0.8, 0.1],
+                         [0.25, 0.25, 0.5]])
+    m = _ProbPredictor(probs=probs)
+    X = np.zeros((6, 2))
+    X[:, 0] = [0, 1, 2, 0, 1, 2]
+    Y_right = np.array([[0], [1], [2], [0], [1], [2]], dtype=float)
+    r = evaluate_classification(m, X, Y_right, S=4, batch_size=4)
+    assert r["accuracy"] == 1.0
+    expected = np.log([0.7, 0.8, 0.5, 0.7, 0.8, 0.5]).mean()
+    assert_allclose(r["loglik"], expected, rtol=1e-6)
+    assert r["nll"] == -r["loglik"]
+
+    Y_wrong = np.array([[1], [0], [0], [1], [0], [0]], dtype=float)
+    r2 = evaluate_classification(m, X, Y_wrong, S=4, batch_size=4)
+    assert r2["accuracy"] == 0.0
+    assert r2["loglik"] < r["loglik"]
