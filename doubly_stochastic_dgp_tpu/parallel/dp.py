@@ -39,7 +39,8 @@ from .mesh import pad_to_multiple
 
 __all__ = ["dp_elbo", "make_dp_train_step", "make_dp_scan_train_step",
            "make_dp_natgrad_adam_step", "dp_predict_y",
-           "dp_predict_density", "dp_evaluate_regression", "sp_elbo",
+           "dp_predict_density", "dp_evaluate_regression",
+           "dp_evaluate_classification", "sp_elbo",
            "make_dp_sp_scan_train_step"]
 
 
@@ -326,6 +327,49 @@ def dp_evaluate_regression(model, Xs, Ys, Y_std, S: int, key,
     rmse = float(jnp.mean(Y_std) * jnp.sqrt(sse / n))
     loglik = float(ll / n)
     return {"rmse": rmse, "nll": -loglik, "loglik": loglik}
+
+
+def dp_evaluate_classification(model, Xs, Ys, S: int, key, mesh: Mesh,
+                               axis: str = "data"):
+    """Test accuracy / log predictive probability (the MNIST notebook
+    cell-11 definitions, `training.loop.evaluate_classification`) with
+    the test rows sharded over the mesh: each device predicts its own
+    rows' class probabilities (full S mixture locally), and psum'd
+    masked partial sums produce the global metrics.  ``Ys`` holds
+    integer labels of shape (N, 1)."""
+    n_dev = mesh.shape[axis]
+    n_real = Xs.shape[0]
+    Xs = jnp.asarray(Xs)
+    Ys = jnp.asarray(Ys)
+    if n_real % n_dev != 0:
+        Xs, _ = pad_to_multiple(Xs, n_dev)
+        Ys, _ = pad_to_multiple(Ys, n_dev)
+    mask = (jnp.arange(Xs.shape[0]) < n_real).astype(Xs.dtype)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(axis), P(axis), P(axis), P()),
+             out_specs=(P(), P(), P()))
+    def _run(model, X_l, Y_l, mask_l, key):
+        keyd = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        mean_SND, _ = model.predict_y(X_l, S=S, key=keyd)
+        if mean_SND.ndim == 2:
+            mean_SND = mean_SND[None]
+        probs = jnp.mean(mean_SND, axis=0)                 # (n_l, K)
+        labels = Y_l[:, 0].astype(jnp.int32)
+        hit = (jnp.argmax(probs, axis=1) == labels).astype(mask_l.dtype)
+        p_true = jnp.maximum(
+            jnp.take_along_axis(probs, labels[:, None], axis=1)[:, 0],
+            1e-12)
+        n_hit = jnp.sum(mask_l * hit)
+        ll = jnp.sum(mask_l * jnp.log(p_true))
+        n_rows = jnp.sum(mask_l)
+        return (jax.lax.psum(n_hit, axis), jax.lax.psum(ll, axis),
+                jax.lax.psum(n_rows, axis))
+
+    n_hit, ll, n = _run(model, Xs, Ys, mask, key)
+    loglik = float(ll / n)
+    return {"accuracy": float(n_hit / n), "loglik": loglik,
+            "nll": -loglik}
 
 
 def sp_elbo(model, X, Y, key, mesh: Mesh, axis: str = "sample",

@@ -510,3 +510,44 @@ def test_dp_predict_density_heteroscedastic_uses_model_hook():
     var_exp = (var_all + mu_all ** 2).mean(0) - mu_exp ** 2
     assert_allclose(np.asarray(mu), mu_exp, rtol=1e-9, atol=1e-11)
     assert_allclose(np.asarray(var), var_exp, rtol=1e-8, atol=1e-11)
+
+
+def test_dp_evaluate_classification_matches_device_emulation():
+    """Row-sharded classification metrics == host emulation with the
+    same per-device keys (MNIST notebook cell-11 definitions),
+    including a non-divisible row count (padded rows masked out)."""
+    from doubly_stochastic_dgp_tpu.parallel.dp import (
+        dp_evaluate_classification)
+    from doubly_stochastic_dgp_tpu import MultiClass
+
+    np.random.seed(2)
+    N, D, M, K = 24, 2, 4, 3
+    X = np.random.randn(N, D)
+    Y = np.random.randint(0, K, size=(N, 1)).astype(float)
+    Z = np.random.randn(M, D)
+    kerns = [RBF.make(D), RBF.make(D)]
+    m = DGP.build(X, Y, Z, kerns, MultiClass.make(K), num_outputs=K,
+                  num_samples=2)
+
+    mesh = make_mesh()
+    n_dev, S, n_test = 8, 3, 21      # pads to 24
+    Xs, Ys = X[:n_test], Y[:n_test]
+    key = jax.random.PRNGKey(9)
+
+    got = dp_evaluate_classification(m, Xs, Ys, S, key, mesh)
+
+    Xp = np.concatenate([Xs, np.repeat(Xs[-1:], 3, 0)], 0)
+    n_l = Xp.shape[0] // n_dev
+    probs = []
+    for di in range(n_dev):
+        kd = jax.random.fold_in(key, di)
+        mu, _ = m.predict_y(jnp.asarray(Xp[di * n_l:(di + 1) * n_l]),
+                            S=S, key=kd)
+        probs.append(np.asarray(mu).mean(0))
+    P_ = np.concatenate(probs, 0)[:n_test]
+    acc = float((P_.argmax(1) == Ys[:, 0]).mean())
+    ll = float(np.log(np.maximum(
+        P_[np.arange(n_test), Ys[:, 0].astype(int)], 1e-12)).mean())
+    assert_allclose(got["accuracy"], acc, rtol=1e-9)
+    assert_allclose(got["loglik"], ll, rtol=1e-9)
+    assert_allclose(got["nll"], -ll, rtol=1e-9)
