@@ -60,6 +60,10 @@ class DGPBase(Module):
         from ..config import config
         X = jnp.asarray(X, dtype=default_float())
         Y = jnp.asarray(Y, dtype=default_float())
+        if X.shape[0] != Y.shape[0]:
+            raise ValueError(
+                f"X and Y must have the same number of rows; got "
+                f"X {X.shape} vs Y {Y.shape}")
         remat = config.remat if remat is None else bool(remat)
         return cls(likelihood=likelihood, layers=list(layers),
                    X_data=X, Y_data=Y, num_samples=num_samples,
@@ -184,6 +188,11 @@ class DGP(DGPBase):
               num_data=None):
         X = np.asarray(X)
         Y = np.asarray(Y)
+        Z = np.asarray(Z)
+        if Z.ndim != 2 or Z.shape[1] != X.shape[1]:
+            raise ValueError(
+                f"Z must be (M, D) with D = X's feature width "
+                f"{X.shape[1]}; got {Z.shape}")
         num_outputs = num_outputs or Y.shape[1]
         if mean_function is None:
             mean_function = Zero(output_dim=num_outputs)

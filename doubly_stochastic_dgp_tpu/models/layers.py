@@ -194,6 +194,12 @@ class SVGPLayer(Layer):
              use_pallas=None, precision=None):
         Z = np.asarray(Z, dtype=default_float())
         M = Z.shape[0]
+        kern_dim = getattr(kern, "input_dim", None)
+        if kern_dim is not None and Z.shape[1] != kern_dim:
+            raise ValueError(
+                f"SVGPLayer: kernel expects input_dim={kern_dim} but Z "
+                f"has {Z.shape[1]} columns (shape {Z.shape}); layer "
+                f"input width and inducing-point width must match")
         if mean_function is None:
             mean_function = Zero(output_dim=num_outputs)
         jitter = default_jitter() if jitter is None else float(jitter)

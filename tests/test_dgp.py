@@ -230,3 +230,26 @@ class TestInputProp:
         Fs, Fms, Fvs = m.predict_all_layers(jnp.asarray(X), S=2)
         assert Fs[0].shape == (2, N, 1 + D)
         assert Fs[-1].shape == (2, N, 1)
+
+
+def test_constructor_shape_validation_messages():
+    """Dimension mismatches fail fast with actionable messages instead
+    of an opaque broadcast error deep inside the first gram matrix."""
+    import pytest
+    from doubly_stochastic_dgp_tpu import DGP, Gaussian, RBF, SVGPLayer
+    from doubly_stochastic_dgp_tpu.models.dgp import DGPBase
+
+    X = np.random.randn(10, 3)
+    Y = np.random.randn(10, 1)
+    Z = np.random.randn(4, 3)
+
+    with pytest.raises(ValueError, match="input_dim=5"):
+        SVGPLayer.make(RBF.make(5), Z, 1)
+    with pytest.raises(ValueError, match="same number of rows"):
+        DGPBase.make(X, Y[:7], Gaussian.make(0.05), [])
+    with pytest.raises(ValueError, match=r"Z must be \(M, D\)"):
+        DGP.build(X, Y, np.random.randn(4, 2), [RBF.make(3)],
+                  Gaussian.make(0.05))
+    with pytest.raises(ValueError, match="input_dim"):
+        DGP.build(X, Y, Z, [RBF.make(5), RBF.make(1)],
+                  Gaussian.make(0.05))
