@@ -57,7 +57,10 @@ def test_two_process_distributed_dp_matches_single_process():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            # generous: grad-of-shard_map compiles in 2 competing
+                # processes on a contended 1-CPU container can exceed
+                # 420s (measured: 157s idle)
+                out, _ = p.communicate(timeout=900)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
