@@ -135,6 +135,65 @@ def build_deep5(dsd, rng):
     return m.replace(layers=layers), X, Y
 
 
+def run_mcmc_family(name, scale):
+    """Sampler families: f32-TPU MCMC robustness (leapfrog, dual
+    averaging, and NUTS tree-building all run in the framework-default
+    numerics on-chip; every CPU test is f64).  ok = finite samples,
+    healthy acceptance, and the chain actually moving."""
+    import jax
+    import doubly_stochastic_dgp_tpu as dsd
+    from doubly_stochastic_dgp_tpu.models.dgp import DGPBase
+    from doubly_stochastic_dgp_tpu.utils.modules import log_prior
+
+    rng = np.random.RandomState(0)
+    N, M = 60, 10
+    X = np.sort(rng.uniform(-1, 1, (N, 1)), axis=0)
+    Y = np.sin(6 * X) * np.exp(-X) + rng.normal(size=(N, 1)) * 0.1
+    Z = np.linspace(-1, 1, M)[:, None]
+    layer = dsd.SGPMCLayer.make(dsd.RBF.make(1, lengthscales=0.4), Z, 1,
+                                white=True)
+    model = DGPBase.make(X, Y, dsd.Gaussian.make(0.05), [layer],
+                         num_samples=1)
+    elbo_key = jax.random.PRNGKey(7)
+
+    def log_post(m):
+        return m.elbo(key=elbo_key) + log_prior(m)
+
+    def freeze(path, param):
+        return "q_mu" not in path
+
+    n = max(50, int(400 * scale))
+    t0 = time.perf_counter()
+    if name == "nuts_sgpmc":
+        from doubly_stochastic_dgp_tpu.training.nuts import nuts_sample
+        samples, acc, _, info = nuts_sample(
+            model, log_post, jax.random.PRNGKey(0), num_samples=n,
+            num_burn=n // 2, step_size=0.1, max_depth=6, freeze=freeze)
+        extra = {"divergences": int(info["divergences"]),
+                 "mean_tree_depth": round(info["mean_tree_depth"], 2)}
+    else:
+        from doubly_stochastic_dgp_tpu.training.hmc import hmc_sample
+        samples, acc, _, info = hmc_sample(
+            model, log_post, jax.random.PRNGKey(0), num_samples=n,
+            num_burn=n // 2, step_size=0.1, num_leapfrog=10,
+            freeze=freeze, adapt_step_size=True)
+        extra = {"adapted_step_size": round(float(info.step_size), 4)}
+    dt = time.perf_counter() - t0
+    s = np.asarray(samples)
+    finite = bool(np.isfinite(s).all())
+    moved = bool(s.std(0).max() > 0.05)
+    ok = finite and moved and 0.3 < acc <= 1.0
+    print(json.dumps({
+        "family": name, "samples": n, "ok": ok,
+        "samples_finite": finite, "chain_moved": moved,
+        "accept": round(float(acc), 3), "seconds": round(dt, 1),
+        **extra,
+    }), flush=True)
+    return ok
+
+
+MCMC_FAMILIES = {"hmc_sgpmc", "nuts_sgpmc"}
+
 FAMILIES = {
     "hetero": (build_hetero, 2000, {}),
     "quad_1d": (build_quad_1d, 1500, {}),
@@ -146,6 +205,7 @@ FAMILIES = {
     "deep5": (build_deep5, 2000, {"batch_size": 1000}),
     "natgrad": (build_deep5, 1000, {"batch_size": 1000,
                                     "natgrad_gamma": 0.1}),
+    # sampler families live in MCMC_FAMILIES / run_mcmc_family
 }
 
 
@@ -188,7 +248,9 @@ def run_family(name, scale):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--families", nargs="+", default=list(FAMILIES))
+    p.add_argument("--families", nargs="+",
+                   default=None,
+                   help="default: all training + sampler families")
     p.add_argument("--scale", type=float, default=1.0,
                    help="iteration-budget multiplier (0.01 for smoke)")
     p.add_argument("--precision", default=None,
@@ -209,9 +271,14 @@ def main():
                       "precision": config.matmul_precision,
                       "solve_mode": config.solve_mode}), flush=True)
 
+    families = (args.families if args.families is not None
+                else list(FAMILIES) + sorted(MCMC_FAMILIES))
     ok = True
-    for name in args.families:
-        ok = run_family(name, args.scale) and ok
+    for name in families:
+        if name in MCMC_FAMILIES:
+            ok = run_mcmc_family(name, args.scale) and ok
+        else:
+            ok = run_family(name, args.scale) and ok
     sys.exit(0 if ok else 1)
 
 
