@@ -190,7 +190,10 @@ def make_dp_damianou_train_step(tx: optax.GradientTransformation,
     psum'd gradient."""
 
     def loss_fn(model):
-        return -dp_damianou_elbo(model, mesh, axis=axis)
+        # MAP objective: + log_prior, like the single-device losses
+        from ..utils.modules import log_prior
+        return -(dp_damianou_elbo(model, mesh, axis=axis)
+                 + log_prior(model))
 
     @jax.jit
     def step(model, opt_state):

@@ -35,6 +35,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
+from ..utils.modules import log_prior
 from .mesh import pad_to_multiple
 
 __all__ = ["dp_elbo", "make_dp_train_step", "make_dp_scan_train_step",
@@ -114,7 +115,9 @@ def make_dp_train_step(tx: optax.GradientTransformation, mesh: Mesh,
     :func:`make_dp_scan_train_step`."""
 
     def loss_fn(model, X, Y, key):
-        return -dp_elbo(model, X, Y, key, mesh, axis=axis,
+        # MAP objective: + log_prior, like the single-device losses
+        return -log_prior(model) - dp_elbo(model, X, Y, key, mesh,
+                                           axis=axis,
                         batch_size=batch_size)
 
     @jax.jit
@@ -182,7 +185,8 @@ def make_dp_scan_train_step(tx: optax.GradientTransformation, mesh: Mesh,
                     scale = jnp.asarray(m.num_data, dtype=ve.dtype) / B
                     # KL/n_dev: the psum over devices then counts the
                     # (replicated) KL exactly once
-                    return -(jnp.sum(ve) * scale - _kl_sum(m) / n_dev)
+                    return -(jnp.sum(ve) * scale
+                             - (_kl_sum(m) - log_prior(m)) / n_dev)
 
                 loss_l, grads_l = jax.value_and_grad(local_loss)(model)
                 grads = jax.lax.psum(grads_l, axis)
@@ -213,7 +217,7 @@ def make_dp_scan_train_step(tx: optax.GradientTransformation, mesh: Mesh,
         total = jax.lax.psum(jnp.sum(ve), axis)
         B = global_B(X_l.shape[0])
         scale = jnp.asarray(model.num_data, dtype=total.dtype) / B
-        return -(total * scale - _kl_sum(model))
+        return -(total * scale - (_kl_sum(model) - log_prior(model)))
 
     @jax.jit
     def step(model, opt_state, X, Y, key):
@@ -245,7 +249,9 @@ def make_dp_natgrad_adam_step(adam_tx: optax.GradientTransformation,
     from ..training.natgrad import natgrad_update
 
     def loss_fn(model, X, Y, key):
-        return -dp_elbo(model, X, Y, key, mesh, axis=axis,
+        # MAP objective: + log_prior, like the single-device losses
+        return -log_prior(model) - dp_elbo(model, X, Y, key, mesh,
+                                           axis=axis,
                         batch_size=batch_size)
 
     @jax.jit
@@ -437,7 +443,8 @@ def _dp_sp_local_loss(model, X, Y, ks, S_local, B, n_dev_total, n_samp):
     ve_s = model.likelihood.variational_expectations(Fmean, Fvar, Y)
     total = jnp.sum(jnp.mean(ve_s, axis=0))
     scale = jnp.asarray(model.num_data, dtype=total.dtype) / B
-    return -(total * scale / n_samp - _kl_sum(model) / n_dev_total)
+    return -(total * scale / n_samp
+             - (_kl_sum(model) - log_prior(model)) / n_dev_total)
 
 
 def make_dp_sp_scan_train_step(tx: optax.GradientTransformation,

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..utils.modules import log_prior
 from .natgrad import natgrad_update
 from .optim import freeze_q_params, masked_optimizer
 
@@ -54,7 +55,10 @@ def make_sgd_train_step(tx: optax.GradientTransformation,
     """
 
     def loss_fn(model, X, Y, key):
-        return -model.elbo(X, Y, key)
+        # MAP objective: parameter log-priors join the bound, as in
+        # GPflow 1.x's Model.objective (prior-free models are
+        # unaffected: log_prior == 0)
+        return -(model.elbo(X, Y, key) + log_prior(model))
 
     @jax.jit
     def step(model, opt_state, key):
@@ -81,7 +85,10 @@ def make_scan_train_step(tx: optax.GradientTransformation,
     (model, opt_state, mean_loss)."""
 
     def loss_fn(model, X, Y, key):
-        return -model.elbo(X, Y, key)
+        # MAP objective: parameter log-priors join the bound, as in
+        # GPflow 1.x's Model.objective (prior-free models are
+        # unaffected: log_prior == 0)
+        return -(model.elbo(X, Y, key) + log_prior(model))
 
     def body(carry, k):
         model, opt_state = carry
@@ -119,7 +126,10 @@ def make_natgrad_adam_step(adam_tx: optax.GradientTransformation,
     make_scan_train_step)."""
 
     def loss_fn(model, X, Y, key):
-        return -model.elbo(X, Y, key)
+        # MAP objective: parameter log-priors join the bound, as in
+        # GPflow 1.x's Model.objective (prior-free models are
+        # unaffected: log_prior == 0)
+        return -(model.elbo(X, Y, key) + log_prior(model))
 
     def one_iter(carry, key):
         model, opt_state = carry

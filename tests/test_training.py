@@ -395,3 +395,40 @@ def test_evaluate_classification_accuracy_and_loglik():
     r2 = evaluate_classification(m, X, Y_wrong, S=4, batch_size=4)
     assert r2["accuracy"] == 0.0
     assert r2["loglik"] < r["loglik"]
+
+
+def test_training_objective_includes_parameter_priors():
+    """GPflow 1.x's Model.objective is likelihood + log_prior (MAP);
+    the reference inherits it, so fit's losses must too.  A Gaussian
+    prior on a kernel lengthscale shifts the step loss by exactly
+    -log_prior, and the resulting gradient pulls the lengthscale
+    toward the prior mean; prior-free models are unchanged."""
+    from doubly_stochastic_dgp_tpu.utils.modules import log_prior
+
+    X, Y = _step_data(16)
+    m = _model(X, Y, M=4, L=1, S=1)
+    assert float(log_prior(m)) == 0.0
+
+    # attach a sharp Gaussian prior (on the unconstrained value)
+    layers = list(m.layers)
+    k = layers[0].kern
+    k = k.replace(lengthscales=k.lengthscales.replace(
+        prior=("gaussian", 5.0, 0.01)))
+    layers[0] = layers[0].replace(kern=k)
+    mp = m.replace(layers=layers)
+    lp = float(log_prior(mp))
+    assert lp != 0.0
+
+    key = jax.random.PRNGKey(0)
+    tx = masked_optimizer(optax.adam(0.01), m)
+    _, _, loss_free = make_sgd_train_step(tx)(m, tx.init(m), key)
+    txp = masked_optimizer(optax.adam(0.01), mp)   # prior is treedef aux
+    _, _, loss_map = make_sgd_train_step(txp)(mp, txp.init(mp), key)
+    assert_allclose(float(loss_map), float(loss_free) - lp, rtol=1e-9)
+
+    # the MAP gradient pulls the (unconstrained) lengthscale toward
+    # the prior mean far harder than the likelihood term
+    g = jax.grad(lambda mm: -(mm.elbo(key=key) + log_prior(mm)))(mp)
+    gl = float(np.ravel(
+        g.layers[0].kern.lengthscales.unconstrained)[0])
+    assert gl < 0  # pushes unconstrained value UP toward 5.0
