@@ -58,9 +58,9 @@ def test_two_process_distributed_dp_matches_single_process():
     try:
         for p in procs:
             # generous: grad-of-shard_map compiles in 2 competing
-                # processes on a contended 1-CPU container can exceed
-                # 420s (measured: 157s idle)
-                out, _ = p.communicate(timeout=900)
+            # processes on a contended 1-CPU container can exceed
+            # 420s (measured: 157s idle)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
