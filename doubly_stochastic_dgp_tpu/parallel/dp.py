@@ -286,6 +286,19 @@ def make_dp_natgrad_adam_step(adam_tx: optax.GradientTransformation,
     return step
 
 
+def _pad_mask_rows(Xs, Ys, n_dev):
+    """Pad the row axis to a device multiple and build the real-row
+    mask — the shared prologue of the sharded evaluation paths."""
+    n_real = Xs.shape[0]
+    Xs = jnp.asarray(Xs)
+    Ys = jnp.asarray(Ys)
+    if n_real % n_dev != 0:
+        Xs, _ = pad_to_multiple(Xs, n_dev)
+        Ys, _ = pad_to_multiple(Ys, n_dev)
+    mask = (jnp.arange(Xs.shape[0]) < n_real).astype(Xs.dtype)
+    return Xs, Ys, mask
+
+
 def dp_evaluate_regression(model, Xs, Ys, Y_std, S: int, key,
                            mesh: Mesh, axis: str = "data"):
     """Test RMSE / NLL / loglik with the reference harness's exact
@@ -294,14 +307,7 @@ def dp_evaluate_regression(model, Xs, Ys, Y_std, S: int, key,
     mixture locally — rows are independent) and three psum'd masked
     partial sums produce the global metrics.  Replaces the host-chunked
     `training.loop.evaluate_regression` at multi-chip scale."""
-    n_dev = mesh.shape[axis]
-    n_real = Xs.shape[0]
-    Xs = jnp.asarray(Xs)
-    Ys = jnp.asarray(Ys)
-    if n_real % n_dev != 0:
-        Xs, _ = pad_to_multiple(Xs, n_dev)
-        Ys, _ = pad_to_multiple(Ys, n_dev)
-    mask = (jnp.arange(Xs.shape[0]) < n_real).astype(Xs.dtype)
+    Xs, Ys, mask = _pad_mask_rows(Xs, Ys, mesh.shape[axis])
     Y_std = jnp.asarray(Y_std, dtype=Xs.dtype)
 
     @partial(shard_map, mesh=mesh,
@@ -343,14 +349,7 @@ def dp_evaluate_classification(model, Xs, Ys, S: int, key, mesh: Mesh,
     rows' class probabilities (full S mixture locally), and psum'd
     masked partial sums produce the global metrics.  ``Ys`` holds
     integer labels of shape (N, 1)."""
-    n_dev = mesh.shape[axis]
-    n_real = Xs.shape[0]
-    Xs = jnp.asarray(Xs)
-    Ys = jnp.asarray(Ys)
-    if n_real % n_dev != 0:
-        Xs, _ = pad_to_multiple(Xs, n_dev)
-        Ys, _ = pad_to_multiple(Ys, n_dev)
-    mask = (jnp.arange(Xs.shape[0]) < n_real).astype(Xs.dtype)
+    Xs, Ys, mask = _pad_mask_rows(Xs, Ys, mesh.shape[axis])
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(axis), P(axis), P(axis), P()),

@@ -235,7 +235,11 @@ def make_2d_train_step(tx: optax.GradientTransformation, mesh: Mesh,
     """Jitted train step over the composed (data x dim) mesh."""
 
     def loss_fn(model, X, Y, key):
-        return -elbo_2d(model, X, Y, key, mesh, data_axis=data_axis,
+        # MAP objective: + log_prior, once (params replicated or
+        # dim-sharded; the sum over leaves is a single global value)
+        from ..utils.modules import log_prior
+        return -log_prior(model) - elbo_2d(model, X, Y, key, mesh,
+                                          data_axis=data_axis,
                         dim_axis=dim_axis, batch_size=batch_size)
 
     @jax.jit
@@ -331,7 +335,11 @@ def make_3d_train_step(tx: optax.GradientTransformation, mesh: Mesh,
     """Jitted train step over the composed (data x sample x dim) mesh."""
 
     def loss_fn(model, X, Y, key):
-        return -elbo_3d(model, X, Y, key, mesh, data_axis=data_axis,
+        # MAP objective: + log_prior, once (params replicated or
+        # dim-sharded; the sum over leaves is a single global value)
+        from ..utils.modules import log_prior
+        return -log_prior(model) - elbo_3d(model, X, Y, key, mesh,
+                                          data_axis=data_axis,
                         sample_axis=sample_axis, dim_axis=dim_axis,
                         batch_size=batch_size)
 
@@ -353,7 +361,11 @@ def make_outdim_train_step(tx: optax.GradientTransformation, mesh: Mesh,
     with their owners' shardings), replicated-safe optimizer update."""
 
     def loss_fn(model, X, Y, key):
-        return -outdim_elbo(model, X, Y, key, mesh, axis=axis,
+        # MAP objective: + log_prior, once (params replicated or
+        # dim-sharded; the sum over leaves is a single global value)
+        from ..utils.modules import log_prior
+        return -log_prior(model) - outdim_elbo(model, X, Y, key, mesh,
+                                          axis=axis,
                             batch_size=batch_size)
 
     @jax.jit

@@ -241,7 +241,8 @@ def nuts_sample(model, log_prob_fn: Callable, key,
                 num_samples: int = 100, num_burn: int = 100,
                 step_size: float = 0.01, max_depth: int = 8,
                 freeze=None, adapt_step_size: bool = True,
-                target_accept: float = 0.8):
+                target_accept: float = 0.8,
+                compute_ess: bool = False):
     """Run NUTS; returns (samples, accept_stat, rebuild, info).
 
     Mirrors :func:`.hmc.hmc_sample`: ``samples`` is (num_samples, P)
@@ -275,8 +276,9 @@ def nuts_sample(model, log_prob_fn: Callable, key,
         "step_size": final_eps,
         "divergences": int(n_div),
         "mean_tree_depth": float(sum_depth) / total,
-        "ess": effective_sample_size(np.asarray(samples)[None]),
     }
+    if compute_ess and num_samples >= 2:
+        info["ess"] = effective_sample_size(np.asarray(samples)[None])
     return samples, accept_stat, rebuild, info
 
 

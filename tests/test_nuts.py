@@ -129,7 +129,8 @@ def test_nuts_dense_gpmc_matches_analytic_posterior():
 
         samples, acc, rebuild, info = nuts_sample(
             m, log_post, jax.random.PRNGKey(0), num_samples=1500,
-            num_burn=400, step_size=0.3, max_depth=7, freeze=freeze)
+            num_burn=400, step_size=0.3, max_depth=7, freeze=freeze,
+            compute_ess=True)
         s = np.asarray(samples)
         assert 0.6 < acc <= 1.0
         assert info["divergences"] == 0
