@@ -52,3 +52,33 @@ def test_published_checks_logic():
     bad = {k: dict(v) for k, v in good.items()}
     bad["DGP2"]["loglik"] -= 2 * LL_TOL
     assert not all(ok for _, ok in published_checks(bad, 100))
+
+
+MNIST_NPZ = os.path.join(REPO, "data", "mnist.npz")
+
+
+@pytest.mark.realdata
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(MNIST_NPZ),
+                    reason="data/mnist.npz not present (zero egress)")
+def test_published_mnist_numbers():
+    """The MNIST half of the real-data readiness contract (BASELINE.md:
+    demo_mnist.ipynb cell 16 — DGP2 784->30->10, M=100, minibatch
+    1000, 20k Adam iters: test accuracy 97.94%, loglik -0.0731).  Drop
+    data/mnist.npz (X float [0,1], Y int labels, Xs/Ys test split) in
+    and ``pytest -m realdata`` asserts the published numbers."""
+    import json
+
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "demos", "mnist.py"),
+         "--layers", "2", "--iterations", "20000",
+         "--minibatch", "1000", "--data", MNIST_NPZ],
+        cwd=REPO, capture_output=True, text=True, timeout=16 * 3600,
+        env=env)
+    assert out.returncode == 0, out.stdout[-4000:] + out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    # published: 0.9794 / -0.0731 (tolerances cover seed + f-precision
+    # differences, same spirit as the kin8nm LL_TOL)
+    assert res["accuracy"] >= 0.9794 - 0.012, res
+    assert res["test_loglik"] >= -0.0731 - 0.05, res
