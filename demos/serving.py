@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Serving demo: train a small DGP, export its jitted prediction
+function to a portable StableHLO artifact (jax.export), reload the
+artifact in a subprocess with NO model-building code, and verify the
+served outputs match the in-process model bit-for-bit.
+
+The reference has no serving story (deployment = a live TF1 session);
+here the artifact is the deployable unit: it embeds the compiled
+computation + the model pytree, and the server side needs only the
+library installed (for the Module codecs) plus the artifact bytes.
+
+  env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python demos/serving.py
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+_SERVER = r"""
+import pickle, sys
+import numpy as np
+import jax, jax.numpy as jnp
+sys.path.insert(0, {repo!r})
+from doubly_stochastic_dgp_tpu.serving import load_exported
+
+serve = load_exported({path!r})
+X = jnp.asarray(np.load({xpath!r}))
+with open({mpath!r}, "rb") as f:
+    params = pickle.load(f)
+mean, var = serve(params, X, jax.random.PRNGKey(3))
+np.save({opath!r}, np.asarray(mean))
+print("served", mean.shape)
+"""
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-data", type=int, default=200)
+    p.add_argument("--iterations", type=int, default=150)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--num-samples", type=int, default=8)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import pickle
+
+    import doubly_stochastic_dgp_tpu as dsd
+    from doubly_stochastic_dgp_tpu.serving import (export_predict_y,
+                                                   load_exported)
+    from doubly_stochastic_dgp_tpu.training.loop import fit
+
+    rng = np.random.RandomState(0)
+    N, D = args.num_data, 2
+    X = rng.randn(N, D)
+    Y = np.sin(2 * X[:, :1]) + 0.1 * rng.randn(N, 1)
+    model = dsd.DGP.build(X, Y, X[:20].copy(),
+                          [dsd.RBF.make(D), dsd.RBF.make(D)],
+                          dsd.Gaussian.make(0.05), num_samples=3)
+    model, _ = fit(model, args.iterations, learning_rate=0.02,
+                   log_every=max(10, args.iterations // 3))
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "predict_y.bin")
+        export_predict_y(model, args.batch, args.num_samples, path=path)
+        size = os.path.getsize(path)
+
+        Xs = jnp.asarray(X[:args.batch])
+        key = jax.random.PRNGKey(3)
+        # in-process reference through the SAME artifact contract
+        ref_mean, _ = load_exported(path)(model, Xs, key)
+
+        # out-of-process "server": fresh interpreter, artifact + params
+        xpath = os.path.join(td, "x.npy")
+        mpath = os.path.join(td, "m.pkl")
+        opath = os.path.join(td, "served.npy")
+        np.save(xpath, np.asarray(Xs))
+        with open(mpath, "wb") as f:
+            pickle.dump(jax.device_get(model), f)
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        code = _SERVER.format(repo=os.path.abspath(repo), path=path,
+                              xpath=xpath, mpath=mpath, opath=opath)
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="",
+                   JAX_PLATFORMS=os.environ.get("JAX_PLATFORMS", "cpu"))
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, env=env,
+                             timeout=600)
+        assert out.returncode == 0, (out.returncode,
+                                     out.stdout[-2000:],
+                                     out.stderr[-3000:])
+        served = np.load(opath)
+
+        exact = bool(np.array_equal(served, np.asarray(ref_mean)))
+        print(json.dumps({
+            "artifact_bytes": size,
+            "batch": args.batch, "S": args.num_samples,
+            "served_shape": list(served.shape),
+            "server_matches_inprocess_bitwise": exact,
+            "max_abs_diff": float(
+                np.max(np.abs(served - np.asarray(ref_mean)))),
+        }, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,9 +69,34 @@ def export_fn(fn: Callable, *example_args, path: Optional[str] = None):
     return data
 
 
+def _warmup_linalg_custom_calls():
+    """jax 0.9.0 CPU workaround: calling a DESERIALIZED export whose
+    program contains LAPACK custom calls (cholesky/triangular_solve)
+    in a fresh process segfaults (native crash, no Python frame)
+    unless the handlers were first instantiated by a live computation
+    in that process — measured: chol/tsolve artifacts die with
+    SIGSEGV, elementwise/RNG artifacts run fine, and a 2x2 warmup
+    cures it.  Cheap (one-time, tiny) and harmless elsewhere."""
+    global _warmed
+    if _warmed:
+        return
+    import jax.numpy as jnp
+    import jax.scipy.linalg as jsl
+
+    eye = jnp.eye(2)
+    jax.block_until_ready(jnp.linalg.cholesky(eye))
+    jax.block_until_ready(
+        jsl.solve_triangular(eye, jnp.ones((2, 1)), lower=True))
+    _warmed = True
+
+
+_warmed = False
+
+
 def load_exported(data_or_path):
     """Load a serialized artifact; returns a callable (``.call``)."""
     register_module_serialization()
+    _warmup_linalg_custom_calls()
     from jax import export
 
     if isinstance(data_or_path, (bytes, bytearray)):

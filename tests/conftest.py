@@ -85,6 +85,7 @@ SLOW_TESTS = {
     "test_damianou.py::test_bound_is_quadratic_in_targets",
     "test_damianou.py::test_training_improves_bound_and_fit",
     "test_serving.py::test_export_predict_y_damianou_roundtrip",
+    "test_serving.py::test_artifact_callable_in_fresh_process",
     "test_training.py::test_lbfgs_improves",
     "test_training.py::test_checkpoint_orbax_roundtrip",
     "test_likelihoods.py::test_zero_variance_gradients_finite",

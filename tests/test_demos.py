@@ -34,8 +34,10 @@ def _run(args, timeout=480):  # generous: xdist runs these under heavy
     ["demos/sgpmc.py", "--sampler", "nuts", "--max-depth", "5",
      "--num-data", "30", "--num-inducing", "8",
      "--num-samples", "60", "--num-burn", "40"],
+    ["demos/serving.py", "--num-data", "60", "--iterations", "30",
+     "--batch", "16", "--num-samples", "3"],
 ], ids=["step_function", "priors", "natural_gradients", "mnist",
-        "damianou", "sgpmc", "sgpmc_nuts"])
+        "damianou", "sgpmc", "sgpmc_nuts", "serving"])
 def test_demo_runs(args):
     out = _run(args)
     assert "Traceback" not in out

@@ -65,3 +65,47 @@ def test_export_predict_y_damianou_roundtrip():
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_d),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_artifact_callable_in_fresh_process():
+    """Cross-process serving: a chol/tsolve-containing artifact called
+    in a FRESH interpreter (the deployment scenario) must reproduce
+    the exporting process's outputs bitwise.  Regression for the jax
+    0.9.0 CPU segfault cured by load_exported's LAPACK warmup."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from doubly_stochastic_dgp_tpu.serving import export_fn, load_exported
+
+    def fn(x):
+        L = jnp.linalg.cholesky(x @ x.T + 2.0 * jnp.eye(4))
+        return jax.scipy.linalg.solve_triangular(L, x[:, :1], lower=True)
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 4))
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "f.bin")
+        export_fn(fn, x, path=path)
+        ref = np.asarray(load_exported(path)(x))
+        np.save(os.path.join(td, "x.npy"), np.asarray(x))
+        code = (
+            "import sys\n"
+            f"sys.path.insert(0, {repo!r})\n"
+            "import numpy as np, jax.numpy as jnp\n"
+            "from doubly_stochastic_dgp_tpu.serving import load_exported\n"
+            f"serve = load_exported({path!r})\n"
+            f"x = jnp.asarray(np.load({os.path.join(td, 'x.npy')!r}))\n"
+            f"np.save({os.path.join(td, 'o.npy')!r}, np.asarray(serve(x)))\n")
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="",
+                   JAX_PLATFORMS="cpu", JAX_ENABLE_X64="1")
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, env=env,
+                             timeout=300)
+        assert out.returncode == 0, (out.returncode, out.stderr[-2000:])
+        served = np.load(os.path.join(td, "o.npy"))
+        assert np.array_equal(served, ref)
