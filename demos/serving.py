@@ -87,8 +87,15 @@ def main():
         repo = os.path.join(os.path.dirname(__file__), "..")
         code = _SERVER.format(repo=os.path.abspath(repo), path=path,
                               xpath=xpath, mpath=mpath, opath=opath)
-        env = dict(os.environ, PALLAS_AXON_POOL_IPS="",
-                   JAX_PLATFORMS=os.environ.get("JAX_PLATFORMS", "cpu"))
+        # exported artifacts are platform-specific: serve on the same
+        # backend as the exporter.  On cpu, pin the child to cpu AND
+        # blank the axon pool override (an inherited JAX_PLATFORMS=axon
+        # with a blanked pool would leave the child with no backend).
+        if jax.default_backend() in ("tpu", "axon"):
+            env = dict(os.environ)
+        else:
+            env = dict(os.environ, PALLAS_AXON_POOL_IPS="",
+                       JAX_PLATFORMS="cpu")
         out = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, text=True, env=env,
                              timeout=600)
@@ -98,6 +105,9 @@ def main():
         served = np.load(opath)
 
         exact = bool(np.array_equal(served, np.asarray(ref_mean)))
+        assert exact, (
+            "fresh-process serving drifted from the in-process artifact "
+            f"call: max|diff| = {np.max(np.abs(served - np.asarray(ref_mean)))}")
         print(json.dumps({
             "artifact_bytes": size,
             "batch": args.batch, "S": args.num_samples,
