@@ -258,9 +258,17 @@ def run_serving(args, X, Y):
     # subtraction, owned by utils/timing.py.
     from doubly_stochastic_dgp_tpu.utils.timing import timed_per_call
 
+    # Cached-posterior serving (models/posterior.py): staging factors
+    # (Lu^{-1}, alpha, C) precomputed once, so the per-request program
+    # is gram + MXU matmuls only — no Cholesky/inverse per call.
+    from doubly_stochastic_dgp_tpu import precompute
+    post = precompute(model)
+    pyc = jax.jit(lambda m, x, k: m.predict_y(x, SERVING_S, key=k))
+
     rows = []
     for name, fn, fnargs in [
             ("serve_predict_y", py, (model, Xs)),
+            ("serve_predict_y_cached", pyc, (post, Xs)),
             ("serve_predict_density", pd, (model, Xs, Ys))]:
         best = timed_per_call(
             lambda i, fn=fn, fnargs=fnargs:

@@ -109,15 +109,26 @@ def load_exported(data_or_path):
 
 
 def export_predict_y(model, batch_size: int, S: int,
-                     path: Optional[str] = None):
+                     path: Optional[str] = None,
+                     precomputed: bool = False):
     """Convenience: export ``model.predict_y`` at a fixed batch size and
     sample count.  The artifact takes (model, X, key) so refreshed
-    parameters can be fed at serving time."""
+    parameters can be fed at serving time.
+
+    ``precomputed=True`` first maps the model through
+    :func:`models.posterior.precompute`, so the exported program
+    contains no Cholesky/inverse at all — only grams and MXU matmuls
+    against the cached staging factors.  Feed refreshed parameters by
+    re-running ``precompute`` on the retrained model and passing the
+    cached model pytree to the artifact."""
     import jax.numpy as jnp
 
     from .config import default_float
 
     D = model.X_data.shape[1]
+    if precomputed:
+        from .models.posterior import precompute
+        model = precompute(model)
 
     def fn(model, X, key):
         return model.predict_y(X, S=S, key=key)

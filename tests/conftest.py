@@ -86,6 +86,9 @@ SLOW_TESTS = {
     "test_damianou.py::test_training_improves_bound_and_fit",
     "test_serving.py::test_export_predict_y_damianou_roundtrip",
     "test_serving.py::test_artifact_callable_in_fresh_process",
+    "test_posterior.py::test_cached_export_roundtrip",
+    "test_posterior.py::test_cached_full_cov_matches_solve_mode",
+    "test_posterior.py::test_cached_input_prop_and_sgpmc",
     "test_training.py::test_lbfgs_improves",
     "test_training.py::test_checkpoint_orbax_roundtrip",
     "test_likelihoods.py::test_zero_variance_gradients_finite",

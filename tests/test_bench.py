@@ -59,6 +59,7 @@ def test_bench_serving_rows_tiny(monkeypatch):
     monkeypatch.setattr(bench, "SERVING_BATCH", 32)
     rows = bench.run_serving(args, X[:128], Y[:128])
     assert {r["name"] for r in rows} == {"serve_predict_y",
+                                         "serve_predict_y_cached",
                                          "serve_predict_density"}
     for r in rows:
         assert r["latency_ms"] > 0
