@@ -32,7 +32,7 @@ from .models.posterior import CachedSVGPLayer, precompute
 from .models.single_layer import GPR, GPRFITC, SGPR, SVGP
 from .models.zoo import DGPCollapsed, DGPHeinonen, DGPHeteroscedastic
 from .models.damianou import DGPDamianou
-from .utils.modules import (Module, Param, log_prior, trainable_mask,
-                            with_config)
+from .utils.modules import (Module, Param, log_prior, summary,
+                            trainable_mask, with_config)
 
 __version__ = "0.1.0"

@@ -36,6 +36,7 @@ __all__ = [
     "positive_inverse",
     "trainable_mask",
     "log_prior",
+    "summary",
     "tree_replace",
     "with_config",
 ]
@@ -309,3 +310,66 @@ def tree_replace(tree, path: tuple, value):
         new[head] = tree_replace(new[head], rest, value)
         return new
     raise TypeError(f"cannot descend into {type(tree)}")
+
+
+def summary(tree, name: str = "model") -> str:
+    """Human-readable parameter table for a module tree.
+
+    The GPflow-1.x ergonomic the reference relies on in its notebooks
+    (displaying a model shows the Parameterized table,
+    ``as_pandas_table``): one row per :class:`Param` with its path,
+    constrained shape/dtype, bijector, trainability, prior, and a value
+    digest (scalars and tiny arrays inline, otherwise mean +- std).
+    Pure string — safe inside or outside jit-less host code; call as
+    ``print(summary(model))``.
+    """
+    rows = []
+
+    def digest(v):
+        import numpy as _np
+        a = _np.asarray(v)
+        if a.size == 1:
+            return f"{float(a):.5g}"
+        if a.size <= 4:
+            return "[" + ", ".join(f"{x:.4g}" for x in a.ravel()) + "]"
+        return f"mean={a.mean():.4g} +- {a.std():.4g}"
+
+    def rec(node, path):
+        if isinstance(node, Param):
+            v = node.value
+            rows.append((
+                ".".join(str(p) for p in path) or name,
+                "x".join(str(s) for s in v.shape) or "()",
+                str(v.dtype),
+                node.bijector,
+                "yes" if node.trainable else "no",
+                "-" if node.prior is None else
+                f"{node.prior[0]}{tuple(node.prior[1:])}",
+                digest(v),
+            ))
+            return
+        if isinstance(node, Module):
+            for n, c in zip(node._dynamic_fields,
+                            node._tree_flatten()[0]):
+                rec(c, path + (n,))
+            return
+        if isinstance(node, (list, tuple)):
+            for i, c in enumerate(node):
+                rec(c, path + (i,))
+            return
+        if isinstance(node, dict):
+            for k in sorted(node):
+                rec(node[k], path + (k,))
+            return
+        # bare buffer leaves (e.g. cached-posterior factors) are omitted:
+        # the table is about *parameters*
+
+    rec(tree, ())
+    header = ("path", "shape", "dtype", "bijector", "trainable",
+              "prior", "value")
+    widths = [max(len(r[i]) for r in rows + [header]) if rows
+              else len(header[i]) for i in range(len(header))]
+    fmt = "  ".join("{:<%d}" % w for w in widths)
+    lines = [fmt.format(*header), fmt.format(*("-" * w for w in widths))]
+    lines += [fmt.format(*r) for r in rows]
+    return "\n".join(lines)

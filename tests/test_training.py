@@ -432,3 +432,35 @@ def test_training_objective_includes_parameter_priors():
     gl = float(np.ravel(
         g.layers[0].kern.lengthscales.unconstrained)[0])
     assert gl < 0  # pushes unconstrained value UP toward 5.0
+
+
+def test_summary_parameter_table():
+    """summary() lists every Param with path/shape/trainability — the
+    GPflow-1.x as_pandas_table ergonomic (reference notebooks display
+    models as parameter tables)."""
+    from doubly_stochastic_dgp_tpu import summary
+    from doubly_stochastic_dgp_tpu.models.posterior import precompute
+
+    np.random.seed(0)
+    X = np.random.randn(20, 2)
+    Y = np.sin(X[:, :1])
+    m = DGP.build(X, Y, X[:6].copy(), [RBF.make(2), RBF.make(2)],
+                  Gaussian.make(0.05), num_samples=2)
+    s = summary(m)
+    lines = s.splitlines()
+    assert lines[0].split()[:3] == ["path", "shape", "dtype"]
+    # one row per Param: lik variance + 2 layers x (kern var, kern ls,
+    # Z, q_mu, q_sqrt)
+    assert len(lines) - 2 == 11
+    assert any("layers.1.q_sqrt" in ln and "triangular" in ln
+               for ln in lines)
+    assert any("likelihood.variance" in ln and "positive" in ln
+               for ln in lines)
+    # cached-posterior models: buffers (Li/alpha/C/Z) are omitted (not
+    # Params), q_mu/q_sqrt are gone, and every remaining *layer* Param
+    # (kernel hypers) shows trainable=no; the likelihood stays live.
+    sc = summary(precompute(m))
+    rows = sc.splitlines()[2:]
+    layer_rows = [ln for ln in rows if ln.startswith("layers.")]
+    assert layer_rows and all(" no " in ln for ln in layer_rows)
+    assert not any("q_sqrt" in ln for ln in rows)
