@@ -46,6 +46,10 @@ def main():
     p.add_argument("--iterations", type=int, default=150)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--num-samples", type=int, default=8)
+    p.add_argument("--precomputed", action="store_true",
+                   help="export the cached-posterior (precompute) model: "
+                        "the artifact contains no Cholesky/inverse — "
+                        "gram + matmul only per request")
     args = p.parse_args()
 
     import jax
@@ -67,15 +71,21 @@ def main():
     model, _ = fit(model, args.iterations, learning_rate=0.02,
                    log_every=max(10, args.iterations // 3))
 
+    # what the server receives: the live model, or its frozen
+    # cached-posterior snapshot (staging factors precomputed; see
+    # models/posterior.py)
+    served_model = dsd.precompute(model) if args.precomputed else model
+
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "predict_y.bin")
-        export_predict_y(model, args.batch, args.num_samples, path=path)
+        export_predict_y(model, args.batch, args.num_samples, path=path,
+                         precomputed=args.precomputed)
         size = os.path.getsize(path)
 
         Xs = jnp.asarray(X[:args.batch])
         key = jax.random.PRNGKey(3)
         # in-process reference through the SAME artifact contract
-        ref_mean, _ = load_exported(path)(model, Xs, key)
+        ref_mean, _ = load_exported(path)(served_model, Xs, key)
 
         # out-of-process "server": fresh interpreter, artifact + params
         xpath = os.path.join(td, "x.npy")
@@ -83,7 +93,7 @@ def main():
         opath = os.path.join(td, "served.npy")
         np.save(xpath, np.asarray(Xs))
         with open(mpath, "wb") as f:
-            pickle.dump(jax.device_get(model), f)
+            pickle.dump(jax.device_get(served_model), f)
         repo = os.path.join(os.path.dirname(__file__), "..")
         code = _SERVER.format(repo=os.path.abspath(repo), path=path,
                               xpath=xpath, mpath=mpath, opath=opath)
@@ -109,6 +119,7 @@ def main():
             "fresh-process serving drifted from the in-process artifact "
             f"call: max|diff| = {np.max(np.abs(served - np.asarray(ref_mean)))}")
         print(json.dumps({
+            "precomputed": args.precomputed,
             "artifact_bytes": size,
             "batch": args.batch, "S": args.num_samples,
             "served_shape": list(served.shape),
