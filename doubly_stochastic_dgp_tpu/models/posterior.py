@@ -14,7 +14,28 @@ other model.
 
 :func:`precompute` maps every SVGP-family layer (``SVGPLayer``,
 ``SGPMCLayer``) to a :class:`CachedSVGPLayer` holding the staged
-factors
+factors, and (round-2 continuation) also covers the *collapsed* model
+family — ``DGPCollapsed`` / ``DGPHeinonen`` / ``DGPDamianou`` — whose
+live prediction path is far more expensive per request than SVGP's:
+every ``conditional_ND`` re-runs the full collapsed factorization
+(``SGPRLayer._common``: psi statistics over all N training rows +
+two Choleskys; ``GPRLayer._chol``: an O(N^3) dense Cholesky).  The
+collapsed conditionals all reduce to the same staged form
+
+    mean = G^T alpha + m(X),   var = Kff - ||G||^2 (+ ||C^T G||^2)
+
+with layer-specific factors:
+
+    GPR    Z=X_data, Li = chol(Knn + sigma^2 I)^{-1}, alpha = Li err
+    SGPR   Li = L^{-1}, alpha = LB^{-T} c, C = LB^{-T}  (per-request
+           cost drops from O(N M^2 + M^3) to O(B M^2))
+    GPMC   Z=X_fixed, Li = Lu^{-1}, alpha = q_mu (whitened)
+
+``DGPDamianou``'s inner layers additionally carry the generative noise
+sigma_l^2 (``extra_var``) so the generic sampling loop reproduces the
+model's own ``propagate``.  For these models :func:`precompute` returns
+a plain prediction-only ``DGPBase`` (the collapsed classes' overridden
+``propagate``/``elbo`` need the live variational state).
 
     Li    = Lu^{-1}                      (M, M)
     alpha = Li q_mu   (q_mu if white)    (M, D)
@@ -71,11 +92,17 @@ class CachedSVGPLayer(Layer):
     Li: Any = None                # (M, M) Lu^{-1} (buffer)
     alpha: Any = None             # (M, D) staged mean head (buffer)
     C: Optional[Any] = None       # (D, M, M) staged cov factor or None
+    # additive output noise sigma_l^2 (DGPDamianou inner layers: the
+    # next layer consumes H_l = f_l + eps_l); None elsewhere
+    extra_var: Optional[Any] = None
     mean_function: MeanFunction = None
     num_outputs_: int = static_field(default=1)
     input_prop_dim: Optional[int] = static_field(default=None)
     jitter: float = static_field(default=1e-6)
     precision: str = static_field(default="default")
+    # tile a 1-column variance to num_outputs (the collapsed live
+    # layers' repeat convention) so downstream shapes match exactly
+    tile_var: bool = static_field(default=False)
 
     @property
     def num_outputs(self):
@@ -116,6 +143,11 @@ class CachedSVGPLayer(Layer):
                 H = jnp.einsum("dim,ib->dmb", self.C, G)       # (D, M, B)
                 var = cov[None] + jnp.einsum("dmb,dmc->dbc", H, H)
                 var = jnp.transpose(var, (1, 2, 0))            # (B, B, D)
+            var = self._tile(var)
+            if self.extra_var is not None:
+                B_ = var.shape[0]
+                var = var + (self.extra_var
+                             * jnp.eye(B_, dtype=var.dtype)[:, :, None])
             return mean + self.mean_function(X), var
         Kff = self.kern.Kdiag(X)                               # (B,)
         resid = Kff - jnp.sum(G * G, axis=0)                   # (B,)
@@ -126,8 +158,15 @@ class CachedSVGPLayer(Layer):
             CT = jnp.swapaxes(self.C, -1, -2).reshape(D_ * M_, M_)
             H = (CT @ G).reshape(D_, M_, G.shape[1])           # (D, M, B)
             var = resid[:, None] + jnp.sum(H * H, axis=1).T    # (B, D)
-        var = jnp.maximum(var, 0.0)
+        var = self._tile(jnp.maximum(var, 0.0))
+        if self.extra_var is not None:
+            var = var + self.extra_var
         return mean + self.mean_function(X), var
+
+    def _tile(self, var):
+        if self.tile_var and var.shape[-1] == 1 and self.num_outputs_ > 1:
+            var = jnp.repeat(var, self.num_outputs_, axis=-1)
+        return var
 
 
 def _freeze_params(tree):
@@ -164,19 +203,140 @@ def _cache_svgp(layer: SVGPLayer) -> CachedSVGPLayer:
     )
 
 
-def precompute(model):
-    """Return a copy of ``model`` whose SVGP-family layers are replaced
-    by :class:`CachedSVGPLayer` snapshots (see module docstring).
+def _cache_gpmc(layer):
+    """GPMC dense layer -> cached staged form.  The whitened dense
+    conditional (models/layers.py::GPMCLayer.conditional_ND) is exactly
+    the SVGP cache with Z = X_fixed, Li = Lu^{-1}, alpha = q_mu, C=None;
+    its variance is repeated to num_outputs, hence tile_var."""
+    with jax.default_matmul_precision("highest"):
+        Li = inv_lower(layer.Lu)
+    return CachedSVGPLayer(
+        kern=_freeze_params(layer.kern),
+        Z=jnp.asarray(layer.X_fixed, dtype=default_float()),
+        Li=Li, alpha=jnp.asarray(layer.q_mu.value), C=None,
+        mean_function=_freeze_params(layer.mean_function),
+        num_outputs_=layer.num_outputs_,
+        input_prop_dim=layer.input_prop_dim,
+        jitter=layer.jitter, precision="default", tile_var=True,
+    )
 
-    Non-SVGP layers (dense GPMC, collapsed GPR/SGPR) pass through
-    unchanged — GPMC already caches its prior Cholesky at build time,
-    and the collapsed layers' prediction state is their stored data.
+
+def _cache_gpr(layer):
+    """Collapsed exact-GPR layer (with data set) -> cached staged form:
+    Z = X_data, Li = chol(Knn + sigma^2 I)^{-1}, alpha = Li (Y - m(X)).
+    Drops the per-request O(N^3) Cholesky of
+    models/layers.py::GPRLayer.conditional_ND."""
+    with jax.default_matmul_precision("highest"):
+        Li = inv_lower(layer._chol())
+        alpha = Li @ (layer._Y - layer.mean_function(layer._X_mean))
+    return CachedSVGPLayer(
+        kern=_freeze_params(layer.kern),
+        Z=jnp.asarray(layer._X_mean, dtype=default_float()),
+        Li=Li, alpha=alpha, C=None,
+        mean_function=_freeze_params(layer.mean_function),
+        num_outputs_=int(layer._Y.shape[1]),
+        input_prop_dim=layer.input_prop_dim,
+        jitter=layer.jitter, precision="default", tile_var=True,
+    )
+
+
+def _cache_sgpr(layer, extra_var=None):
+    """Collapsed SGPR/Titsias layer (with data set) -> cached staged
+    form.  From cm = _common() (models/layers.py:676-718):
+
+        tmp1 = L^{-1} Kus = G,  tmp2 = LB^{-1} tmp1 = (LB^{-T})^T G
+        mean = tmp2^T c = G^T (LB^{-T} c)
+        var  = Kff - ||tmp1||^2 + ||tmp2||^2
+
+    i.e. Li = L^{-1}, alpha = LB^{-T} c, C = (LB^{-T})[None] — the
+    ||C^T G||^2 term IS the +||tmp2||^2 correction.  Per-request cost
+    drops from O(N M^2 + M^3) (psi statistics over all N data rows +
+    two Choleskys, re-run on every conditional) to O(B M^2).
+    ``extra_var`` carries a DGPDamianou inner layer's generative noise
+    sigma_l^2 (models/damianou.py::DGPDamianou.propagate adds it to the
+    sampled conditional)."""
+    with jax.default_matmul_precision("highest"):
+        cm = layer._common()
+        Li = inv_lower(cm["L"])
+        LBiT = inv_lower(cm["LB"]).T
+        alpha = LBiT @ cm["c"]
+    return CachedSVGPLayer(
+        kern=_freeze_params(layer.kern),
+        Z=jnp.asarray(layer.Z.value, dtype=default_float()),
+        Li=Li, alpha=alpha, C=LBiT[None],
+        extra_var=extra_var,
+        mean_function=_freeze_params(layer.mean_function),
+        num_outputs_=int(layer._Y.shape[1]),
+        input_prop_dim=layer.input_prop_dim,
+        jitter=layer.jitter, precision="highest", tile_var=True,
+    )
+
+
+def _cache_any(layer):
+    from .layers import GPMCLayer
+    if isinstance(layer, SVGPLayer):
+        return _cache_svgp(layer)
+    if isinstance(layer, GPMCLayer):
+        return _cache_gpmc(layer)
+    return layer
+
+
+def _prediction_model(model, layers):
+    """Prediction-only DGPBase carrying the cached stack.  The collapsed
+    model classes' overridden propagate/elbo re-derive the collapsed
+    factorization from live variational state on every call; the generic
+    DGPBase loop over the cached layers reproduces their prediction
+    semantics exactly (tests pin equality)."""
+    from .dgp import DGPBase
+    return DGPBase(
+        likelihood=_freeze_params(model.likelihood), layers=layers,
+        X_data=model.X_data, Y_data=model.Y_data,
+        num_samples=model.num_samples, num_data=model.num_data,
+        remat=model.remat,
+    )
+
+
+def precompute(model, key=None, zs=None):
+    """Return a prediction-only copy of ``model`` whose layers are
+    replaced by :class:`CachedSVGPLayer` snapshots (see module
+    docstring).
+
+    - MC-bound models (``DGP``/``DGPQuad``/``DGPHeteroscedastic``/...):
+      SVGP-family layers are cached in place; the model class (and with
+      it the y-space hooks) is preserved.
+    - ``DGPDamianou``: every collapsed layer is cached from its q(H)
+      data, inner layers carrying the generative noise sigma_l^2; a
+      generic ``DGPBase`` is returned.
+    - ``DGPCollapsed``/``DGPHeinonen``: inner layers cached in place;
+      the collapsed last layer is snapshotted from the inner propagation
+      of the training data (``key``/``zs`` seed that propagation — for
+      stacks with >1 inner layer it is stochastic, exactly as every
+      live prediction re-draws it).
+
     The returned model supports the full prediction surface
     (``predict_f(_full_cov)``, ``predict_y``, ``predict_density``,
-    ``predict_all_layers(_full_cov)``) but not training.
+    ``predict_all_layers(_full_cov)``) but not training (``KL`` and the
+    collapsed bounds raise).
     """
-    layers = [
-        _cache_svgp(l) if isinstance(l, SVGPLayer) else l
-        for l in model.layers
-    ]
+    from .damianou import DGPDamianou
+    from .layers import GPRLayer, SGPRLayer
+    from .zoo import DGPCollapsed
+
+    if isinstance(model, DGPDamianou):
+        L = len(model.layers)
+        layers = [
+            _cache_sgpr(lay, extra_var=(model.noise[l].value
+                                        if l < L - 1 else None))
+            for l, lay in enumerate(model._data_layers())
+        ]
+        return _prediction_model(model, layers)
+    if isinstance(model, DGPCollapsed):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        last = model._collapsed_last_layer(key=key, zs=zs)
+        cached_last = (_cache_gpr(last) if isinstance(last, GPRLayer)
+                       else _cache_sgpr(last) if isinstance(last, SGPRLayer)
+                       else last)
+        layers = [_cache_any(l) for l in model.layers[:-1]] + [cached_last]
+        return _prediction_model(model, layers)
+    layers = [_cache_any(l) for l in model.layers]
     return model.replace(layers=layers)

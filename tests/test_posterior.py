@@ -112,6 +112,117 @@ def test_cached_model_has_no_trainables_and_refuses_training():
         post.elbo(key=jax.random.PRNGKey(0))
 
 
+# -- collapsed family (round-2 continuation) --------------------------------
+# The collapsed models re-run the full collapsed factorization (psi
+# stats over all N rows + Choleskys) on every prediction; precompute()
+# snapshots it.  zs pins the sampling path so live and cached propagate
+# are comparable point-for-point.
+
+
+def _compare_propagate(m, post, Xs, zs, full_cov=False, atol=1e-8):
+    key = jax.random.PRNGKey(0)
+    a = m.propagate(jnp.asarray(Xs), key=key, zs=zs, S=2,
+                    full_cov=full_cov)
+    b = post.propagate(jnp.asarray(Xs), key=key, zs=zs, S=2,
+                       full_cov=full_cov)
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for ai, bi in zip(la, lb):
+        assert ai.shape == bi.shape
+        np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
+                                   atol=atol)
+
+
+def _build_collapsed(n=24, d=2, d_y=2):
+    rng = np.random.RandomState(3)
+    X = rng.randn(n, d)
+    Y = np.sin(X[:, :1]) + np.array([[0.0, 1.0]]) + 0.1 * rng.randn(n, d_y)
+    Z = X[: n // 2].copy()
+    kerns = [dsd.RBF.make(d), dsd.RBF.make(d)]
+    layers = dsd.init_layers_linear(X, Y, Z, kerns, num_outputs=d_y)
+    from doubly_stochastic_dgp_tpu.models.layers import SGPRLayer
+    last = SGPRLayer.make(layers[-1].kern, np.asarray(layers[-1].Z.value),
+                          d_y, layers[-1].mean_function)
+    layers[0] = layers[0].replace(
+        q_mu=layers[0].q_mu.with_value(rng.randn(n // 2, d) * 0.4))
+    m = dsd.DGPCollapsed.make(X, Y, dsd.Gaussian.make(0.05),
+                              [layers[0], last])
+    return m, X, Y
+
+
+def test_cached_collapsed_sgpr_matches_live():
+    m, X, Y = _build_collapsed()
+    zs = [0.37, -0.81]
+    post = precompute(m, zs=zs)
+    assert isinstance(post.layers[-1], CachedSVGPLayer)
+    _compare_propagate(m, post, X[:9], zs)
+    _compare_propagate(m, post, X[:5], zs, full_cov=True)
+    # prediction-only: the collapsed bound is gone, KL raises
+    with pytest.raises(NotImplementedError):
+        post.elbo(key=jax.random.PRNGKey(0))
+    mask = jax.tree_util.tree_leaves(trainable_mask(post))
+    assert not any(mask)
+
+
+def test_cached_heinonen_matches_live():
+    from doubly_stochastic_dgp_tpu.models.layers import GPMCLayer, GPRLayer
+    from doubly_stochastic_dgp_tpu.models.mean_functions import (Identity,
+                                                                 Zero)
+    rng = np.random.RandomState(5)
+    N, d, d_y = 10, 3, 2
+    X = rng.uniform(size=(N, d))
+    Y = rng.randn(N, d_y)
+    layer0 = GPMCLayer.make(dsd.Matern52.make(d, lengthscales=0.5),
+                            X.copy(), d, Identity())
+    layer0 = layer0.replace(
+        q_mu=layer0.q_mu.with_value(rng.randn(N, d) * 0.3))
+    layer1 = GPRLayer.make(dsd.Matern52.make(d, lengthscales=0.7),
+                           Zero(output_dim=d_y), d_y)
+    m = dsd.DGPHeinonen.make(X, Y, dsd.Gaussian.make(0.01),
+                             [layer0, layer1])
+    post = precompute(m)
+    assert all(isinstance(l, CachedSVGPLayer) for l in post.layers)
+    _compare_propagate(m, post, X[:7], zs=[0.11, -0.4])
+    _compare_propagate(m, post, X[:4], zs=[0.11, -0.4], full_cov=True)
+    # y-space surface goes through the same cached stack
+    key = jax.random.PRNGKey(2)
+    zsf = [0.0, 0.0]
+    a = m.propagate(jnp.asarray(X[:6]), key=key, zs=zsf, S=1)
+    b = post.propagate(jnp.asarray(X[:6]), key=key, zs=zsf, S=1)
+    np.testing.assert_allclose(np.asarray(a[1][-1]), np.asarray(b[1][-1]),
+                               atol=1e-8)
+
+
+def test_cached_damianou_matches_live():
+    rng = np.random.RandomState(7)
+    n, d, d_y = 20, 2, 2
+    X = rng.randn(n, d)
+    Y = np.cos(X[:, :1]) + 0.1 * rng.randn(n, d_y)
+    Z = X[: n // 2].copy()
+    kerns = [dsd.RBF.make(d), dsd.RBF.make(d)]
+    m = dsd.DGPDamianou.build(X, Y, Z, kerns, dsd.Gaussian.make(0.05))
+    # non-trivial q(H) so the inner cache carries real state
+    m = m.replace(h_mean=[m.h_mean[0].with_value(
+        np.asarray(m.h_mean[0].value) + 0.2 * rng.randn(n, d))])
+    post = precompute(m)
+    assert all(isinstance(l, CachedSVGPLayer) for l in post.layers)
+    # the inner layer carries the generative noise sigma_l^2
+    assert post.layers[0].extra_var is not None
+    np.testing.assert_allclose(np.asarray(post.layers[0].extra_var),
+                               np.asarray(m.noise[0].value))
+    assert post.layers[-1].extra_var is None
+    zs = [0.25, -0.6]
+    _compare_propagate(m, post, X[:8], zs)
+    _compare_propagate(m, post, X[:4], zs, full_cov=True)
+    # predict_y shapes and values through the generic surface
+    key = jax.random.PRNGKey(4)
+    my, vy = post.predict_y(X[:5], S=3, key=key)
+    assert my.shape == (3, 5, d_y) and vy.shape == (3, 5, d_y)
+    assert np.all(np.isfinite(np.asarray(my)))
+    with pytest.raises(NotImplementedError):
+        post.elbo(key=key)
+
+
 def test_cached_export_roundtrip(tmp_path):
     from doubly_stochastic_dgp_tpu.serving import (export_predict_y,
                                                    load_exported)
