@@ -58,9 +58,19 @@ class Layer(Module):
         gram/matmul for the MXU (reference layers.py:71-73); full-cov path
         vmaps over S (the JAX-native tf.map_fn, layers.py:66-69)."""
         if full_cov:
-            return jax.vmap(lambda a: self.conditional_ND(a, full_cov=True))(X)
+            mean, var = jax.vmap(
+                lambda a: self.conditional_ND(a, full_cov=True))(X)
+            if var.shape[-1] == 1 and self.num_outputs > 1:
+                # q_sqrt=None (SGPMC) conditionals share one covariance
+                # across outputs and return a 1-column var; materialize
+                # the output axis so downstream shapes are (.., D_out)
+                var = jnp.broadcast_to(
+                    var, var.shape[:-1] + (self.num_outputs,))
+            return mean, var
         S, N, D = X.shape
         mean, var = self.conditional_ND(X.reshape(S * N, D))
+        if var.shape[-1] == 1 and self.num_outputs > 1:
+            var = jnp.broadcast_to(var, (S * N, self.num_outputs))
         return (mean.reshape(S, N, self.num_outputs),
                 var.reshape(S, N, self.num_outputs))
 

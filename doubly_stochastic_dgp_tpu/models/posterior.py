@@ -76,7 +76,7 @@ from ..ops.linalg import inv_lower
 from .layers import Layer, SVGPLayer
 from .mean_functions import MeanFunction
 
-__all__ = ["CachedSVGPLayer", "precompute"]
+__all__ = ["CachedSVGPLayer", "CachedSingleLayerGP", "precompute"]
 
 
 class CachedSVGPLayer(Layer):
@@ -296,6 +296,61 @@ def _prediction_model(model, layers):
     )
 
 
+class CachedSingleLayerGP(Module):
+    """Prediction-only cache for the single-layer baseline models
+    (models/single_layer.py GPR / SGPR / GPRFITC — the UCI notebook's
+    gpflow baselines).  Keeps their non-sampled prediction API
+    (``predict_f(_full_cov)`` / ``predict_y`` / ``predict_density``)
+    while the per-request cost drops to gram + matmul, exactly as for
+    the deep collapsed family."""
+
+    layer: CachedSVGPLayer = None
+    likelihood: Any = None
+
+    def predict_f(self, Xnew, full_cov=False):
+        return self.layer.conditional_ND(jnp.asarray(Xnew),
+                                         full_cov=full_cov)
+
+    def predict_f_full_cov(self, Xnew):
+        return self.predict_f(Xnew, full_cov=True)
+
+    def predict_y(self, Xnew):
+        m, v = self.predict_f(Xnew)
+        return self.likelihood.predict_mean_and_var(m, v)
+
+    def predict_density(self, Xnew, Ynew):
+        m, v = self.predict_f(Xnew)
+        return self.likelihood.predict_density(m, v, jnp.asarray(Ynew))
+
+    def log_likelihood(self, X=None, Y=None, key=None):
+        raise NotImplementedError(
+            "CachedSingleLayerGP is prediction-only; train the original "
+            "model and re-run precompute().")
+
+    elbo = log_likelihood
+
+
+def _cache_fitc(model):
+    """GPRFITC -> cached staged form.  predict_f (single_layer.py) is
+    the same tmp1/tmp2 pipeline as SGPR's conditional, so the identical
+    factors apply: Li = L^{-1}, alpha = LB^{-T} c, C = LB^{-T}."""
+    with jax.default_matmul_precision("highest"):
+        cm = model._common()
+        Li = inv_lower(cm["L"])
+        LBiT = inv_lower(cm["LB"]).T
+        alpha = LBiT @ cm["c"]
+    layer = CachedSVGPLayer(
+        kern=_freeze_params(model.kern),
+        Z=jnp.asarray(model.Z.value, dtype=default_float()),
+        Li=Li, alpha=alpha, C=LBiT[None],
+        mean_function=_freeze_params(model.mean_function),
+        num_outputs_=int(model.Y_data.shape[1]),
+        jitter=model.jitter, precision="default", tile_var=True,
+    )
+    return CachedSingleLayerGP(layer=layer,
+                               likelihood=_freeze_params(model.likelihood))
+
+
 def precompute(model, key=None, zs=None):
     """Return a prediction-only copy of ``model`` whose layers are
     replaced by :class:`CachedSVGPLayer` snapshots (see module
@@ -320,8 +375,17 @@ def precompute(model, key=None, zs=None):
     """
     from .damianou import DGPDamianou
     from .layers import GPRLayer, SGPRLayer
+    from .single_layer import GPR as SLGPR, GPRFITC, SGPR as SLSGPR
     from .zoo import DGPCollapsed
 
+    if isinstance(model, (SLGPR, SLSGPR)):
+        lay = model._bound_layer()
+        cached = (_cache_gpr(lay) if isinstance(lay, GPRLayer)
+                  else _cache_sgpr(lay))
+        return CachedSingleLayerGP(
+            layer=cached, likelihood=_freeze_params(model.likelihood))
+    if isinstance(model, GPRFITC):
+        return _cache_fitc(model)
     if isinstance(model, DGPDamianou):
         L = len(model.layers)
         layers = [

@@ -223,6 +223,41 @@ def test_cached_damianou_matches_live():
         post.elbo(key=key)
 
 
+def test_cached_single_layer_baselines_match_live():
+    """GPR / SGPR / GPRFITC (the UCI-notebook gpflow baselines) cache to
+    the same staged form; the non-sampled prediction API is preserved."""
+    from doubly_stochastic_dgp_tpu.models.posterior import (
+        CachedSingleLayerGP)
+    from doubly_stochastic_dgp_tpu.models.single_layer import (GPR, GPRFITC,
+                                                               SGPR)
+    rng = np.random.RandomState(9)
+    n, d, d_y = 25, 2, 2
+    X = rng.randn(n, d)
+    Y = np.sin(X[:, :1]) + 0.1 * rng.randn(n, d_y)
+    Z = X[:8].copy()
+    Xs = rng.randn(7, d)
+    models = [GPR.build(X, Y, dsd.RBF.make(d), noise_variance=0.05),
+              SGPR.build(X, Y, dsd.RBF.make(d), Z, noise_variance=0.05),
+              GPRFITC.build(X, Y, dsd.RBF.make(d), Z, noise_variance=0.05)]
+    for m in models:
+        post = precompute(m)
+        assert isinstance(post, CachedSingleLayerGP)
+        for fn in [lambda mm: mm.predict_f(Xs),
+                   lambda mm: mm.predict_f_full_cov(Xs),
+                   lambda mm: mm.predict_y(Xs),
+                   lambda mm: mm.predict_density(Xs, Y[:7])]:
+            a = jax.tree_util.tree_leaves(fn(m))
+            b = jax.tree_util.tree_leaves(fn(post))
+            for ai, bi in zip(a, b):
+                assert ai.shape == bi.shape
+                np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
+                                           atol=1e-9)
+        mask = jax.tree_util.tree_leaves(trainable_mask(post))
+        assert not any(mask)
+        with pytest.raises(NotImplementedError):
+            post.log_likelihood()
+
+
 def test_cached_export_roundtrip(tmp_path):
     from doubly_stochastic_dgp_tpu.serving import (export_predict_y,
                                                    load_exported)

@@ -254,6 +254,40 @@ def test_sgpmc_layer_hmc_smoke():
     assert np.abs(np.asarray(samples[-1])).max() > 1e-3
 
 
+def test_sgpmc_multi_output_hidden_layer():
+    """Regression: a q_sqrt=None layer with num_outputs > 1 (a deep
+    sparse-MCMC model's hidden layer) returns a 1-column conditional
+    variance; conditional_SND must broadcast it to (S, N, D_out) instead
+    of crashing on the reshape (found in the round-2 continuation: any
+    SGPMC DGP with hidden width > 1 raised TypeError)."""
+    np.random.seed(4)
+    N, M, D, H = 14, 6, 2, 3
+    X = np.random.randn(N, D)
+    Y = np.sin(X[:, :1]) + np.random.randn(N, 1) * 0.1
+    Z = X[:M].copy()
+
+    hidden = SGPMCLayer.make(RBF.make(D), Z, H, white=True)
+    out = SGPMCLayer.make(RBF.make(H), np.random.randn(M, H), 1,
+                          white=True)
+    # diag + full-cov conditionals carry the materialized output axis
+    Xs = jnp.asarray(np.random.randn(2, 5, D))
+    mean, var = hidden.conditional_SND(Xs, full_cov=False)
+    assert mean.shape == (2, 5, H) and var.shape == (2, 5, H)
+    meanf, varf = hidden.conditional_SND(Xs, full_cov=True)
+    assert varf.shape == (2, 5, 5, H)
+
+    m = DGPBase.make(X, Y, Gaussian.make(0.05), [hidden, out],
+                     num_samples=2)
+    from doubly_stochastic_dgp_tpu.utils.modules import log_prior
+    val, grads = jax.value_and_grad(
+        lambda mm: mm.elbo(key=jax.random.PRNGKey(1)) + log_prior(mm))(m)
+    assert np.isfinite(float(val))
+    assert all(np.all(np.isfinite(np.asarray(g)))
+               for g in jax.tree_util.tree_leaves(grads))
+    my, vy = m.predict_y(X[:5], S=3, key=jax.random.PRNGKey(2))
+    assert my.shape == (3, 5, 1) and np.all(np.isfinite(np.asarray(my)))
+
+
 def test_sgpmc_hmc_matches_dense_gpmc_at_Z_eq_X():
     """SGPMC end-to-end oracle (round-1 VERDICT missing #3): with Z = X
     and white=True, the SGPMC layer's whitened conditional with
