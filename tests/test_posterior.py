@@ -258,6 +258,39 @@ def test_cached_single_layer_baselines_match_live():
             post.log_likelihood()
 
 
+def test_cached_collapsed_composes_with_mesh_prediction():
+    """The prediction-only cached stack is an ordinary pytree model, so
+    the sample-sharded mesh paths (dp_predict_y / dp_predict_density)
+    work on it unchanged; equality vs the per-device emulation oracle."""
+    from doubly_stochastic_dgp_tpu.parallel.dp import (dp_predict_density,
+                                                       dp_predict_y)
+    from doubly_stochastic_dgp_tpu.parallel.mesh import make_mesh
+    m, X, Y = _build_collapsed()
+    post = precompute(m)
+    mesh = make_mesh(8)
+    key = jax.random.PRNGKey(0)
+    S, n = 8, mesh.shape["data"]
+    got = dp_predict_y(post, jnp.asarray(X[:16]), S=S, key=key, mesh=mesh)
+    ms, vs = [], []
+    for d in range(n):
+        Fm, Fv = post._predict(jnp.asarray(X[:16]),
+                               key=jax.random.fold_in(key, d),
+                               full_cov=False, S=S // n)
+        mm, vv = post.sample_predict_y(Fm, Fv)
+        ms.append(mm)
+        vs.append(vv)
+    mm = jnp.concatenate(ms)
+    vv = jnp.concatenate(vs)
+    mp = jnp.mean(mm, 0)
+    want = (mp, jnp.mean(vv + mm ** 2, 0) - mp ** 2)
+    for gi, wi in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(wi),
+                                   atol=1e-12)
+    dens = dp_predict_density(post, jnp.asarray(X[:16]),
+                              jnp.asarray(Y[:16]), S=S, key=key, mesh=mesh)
+    assert np.all(np.isfinite(np.asarray(dens)))
+
+
 def test_cached_export_roundtrip(tmp_path):
     from doubly_stochastic_dgp_tpu.serving import (export_predict_y,
                                                    load_exported)
