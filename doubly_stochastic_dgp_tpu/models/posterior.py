@@ -314,11 +314,13 @@ class CachedSingleLayerGP(Module):
     def predict_f_full_cov(self, Xnew):
         return self.predict_f(Xnew, full_cov=True)
 
-    def predict_y(self, Xnew):
+    def predict_y(self, Xnew, S=None, key=None):
+        del S, key  # deterministic predictive; uniform API with DGPBase
         m, v = self.predict_f(Xnew)
         return self.likelihood.predict_mean_and_var(m, v)
 
-    def predict_density(self, Xnew, Ynew):
+    def predict_density(self, Xnew, Ynew, S=None, key=None):
+        del S, key
         m, v = self.predict_f(Xnew)
         return self.likelihood.predict_density(m, v, jnp.asarray(Ynew))
 
@@ -395,6 +397,19 @@ def precompute(model, key=None, zs=None):
         ]
         return _prediction_model(model, layers)
     if isinstance(model, DGPCollapsed):
+        from .zoo import DGPHeinonen
+        if (key is None and zs is None and len(model.layers) > 2
+                and not isinstance(model, DGPHeinonen)):
+            # >1 stochastic inner layer: the snapshot bakes ONE
+            # inner-propagation draw (PRNGKey(0)) into the collapsed
+            # factorization, whereas the live model re-draws per call.
+            import warnings
+            warnings.warn(
+                "precompute(DGPCollapsed with >1 stochastic inner layer): "
+                "the cached collapsed factorization freezes a single "
+                "inner-propagation draw (default PRNGKey(0)); live "
+                "predictions re-draw it per call.  Pass key= (or zs=) "
+                "explicitly to choose the frozen draw.", stacklevel=2)
         key = key if key is not None else jax.random.PRNGKey(0)
         last = model._collapsed_last_layer(key=key, zs=zs)
         cached_last = (_cache_gpr(last) if isinstance(last, GPRLayer)

@@ -101,11 +101,13 @@ class GPR(Module):
     def predict_f_full_cov(self, Xnew):
         return self.predict_f(Xnew, full_cov=True)
 
-    def predict_y(self, Xnew):
+    def predict_y(self, Xnew, S=None, key=None):
+        del S, key  # deterministic predictive; uniform API with DGPBase
         m, v = self.predict_f(Xnew)
         return self.likelihood.predict_mean_and_var(m, v)
 
-    def predict_density(self, Xnew, Ynew):
+    def predict_density(self, Xnew, Ynew, S=None, key=None):
+        del S, key
         m, v = self.predict_f(Xnew)
         return self.likelihood.predict_density(m, v, jnp.asarray(Ynew))
 
@@ -144,11 +146,13 @@ class SGPR(Module):
     def predict_f_full_cov(self, Xnew):
         return self.predict_f(Xnew, full_cov=True)
 
-    def predict_y(self, Xnew):
+    def predict_y(self, Xnew, S=None, key=None):
+        del S, key  # deterministic predictive; uniform API with DGPBase
         m, v = self.predict_f(Xnew)
         return self.likelihood.predict_mean_and_var(m, v)
 
-    def predict_density(self, Xnew, Ynew):
+    def predict_density(self, Xnew, Ynew, S=None, key=None):
+        del S, key
         m, v = self.predict_f(Xnew)
         return self.likelihood.predict_density(m, v, jnp.asarray(Ynew))
 
@@ -232,16 +236,23 @@ class GPRFITC(Module):
         else:
             var = (self.kern.Kdiag(Xnew) + jnp.sum(tmp2 ** 2, axis=0)
                    - jnp.sum(tmp1 ** 2, axis=0))
+            # same zero clamp as the GPR/SGPR collapsed layers' diag
+            # branch: under f32 cancellation the residual can go
+            # (roundoff-)negative, and the cached-posterior path
+            # (models/posterior.py) clamps — keep live == cached.
+            var = jnp.maximum(var, 0.0)
             var = jnp.repeat(var[:, None], D, axis=1)
         return mean, var
 
     def predict_f_full_cov(self, Xnew):
         return self.predict_f(Xnew, full_cov=True)
 
-    def predict_y(self, Xnew):
+    def predict_y(self, Xnew, S=None, key=None):
+        del S, key  # deterministic predictive; uniform API with DGPBase
         m, v = self.predict_f(Xnew)
         return self.likelihood.predict_mean_and_var(m, v)
 
-    def predict_density(self, Xnew, Ynew):
+    def predict_density(self, Xnew, Ynew, S=None, key=None):
+        del S, key
         m, v = self.predict_f(Xnew)
         return self.likelihood.predict_density(m, v, jnp.asarray(Ynew))

@@ -291,6 +291,72 @@ def test_cached_collapsed_composes_with_mesh_prediction():
     assert np.all(np.isfinite(np.asarray(dens)))
 
 
+def test_export_predict_y_cached_single_layer(tmp_path):
+    """Round-2 ADVICE #1: precomputed export of the single-layer
+    baselines maps to CachedSingleLayerGP, whose predictive is
+    deterministic — the export fn's S=/key= kwargs must be accepted
+    (and ignored) instead of raising TypeError at trace time."""
+    from doubly_stochastic_dgp_tpu.models.single_layer import (GPR, GPRFITC,
+                                                               SGPR)
+    from doubly_stochastic_dgp_tpu.serving import (export_predict_y,
+                                                   load_exported)
+    rng = np.random.RandomState(5)
+    X = rng.randn(20, 2)
+    Y = np.sin(X[:, :1]) + 0.05 * rng.randn(20, 1)
+    Z = X[:6].copy()
+    models = [GPR.build(X, Y, dsd.RBF.make(2), noise_variance=0.05),
+              SGPR.build(X, Y, dsd.RBF.make(2), Z, noise_variance=0.05),
+              GPRFITC.build(X, Y, dsd.RBF.make(2), Z, noise_variance=0.05)]
+    for m in models:
+        path = str(tmp_path / f"{type(m).__name__}.bin")
+        export_predict_y(m, batch_size=5, S=3, path=path, precomputed=True)
+        call = load_exported(path)
+        got = call(precompute(m), jnp.asarray(X[:5]), jax.random.PRNGKey(0))
+        want = m.predict_y(X[:5])
+        for gi, wi in zip(jax.tree_util.tree_leaves(got),
+                          jax.tree_util.tree_leaves(want)):
+            np.testing.assert_allclose(np.asarray(gi), np.asarray(wi),
+                                       atol=1e-9)
+
+
+def _build_collapsed_deep(n=20, d=2, d_y=1):
+    """3-layer collapsed stack: TWO stochastic inner layers, so the
+    collapsed factorization depends on the inner propagation draw."""
+    from doubly_stochastic_dgp_tpu.models.layers import SGPRLayer
+    rng = np.random.RandomState(8)
+    X = rng.randn(n, d)
+    Y = np.sin(X[:, :1]) + 0.1 * rng.randn(n, d_y)
+    Z = X[: n // 2].copy()
+    kerns = [dsd.RBF.make(d), dsd.RBF.make(d), dsd.RBF.make(d)]
+    layers = dsd.init_layers_linear(X, Y, Z, kerns, num_outputs=d_y)
+    last = SGPRLayer.make(layers[-1].kern, np.asarray(layers[-1].Z.value),
+                          d_y, layers[-1].mean_function)
+    for i in (0, 1):
+        layers[i] = layers[i].replace(
+            q_mu=layers[i].q_mu.with_value(rng.randn(n // 2, d) * 0.4))
+    return dsd.DGPCollapsed.make(X, Y, dsd.Gaussian.make(0.05),
+                                 layers[:2] + [last]), X, Y
+
+
+def test_precompute_warns_on_multi_stochastic_inner_draw():
+    """Round-2 ADVICE #2: with >1 stochastic inner layer and no explicit
+    key/zs, precompute bakes ONE inner draw into the snapshot — warn so
+    the frozen draw isn't mistaken for the live (re-drawn) predictive."""
+    import warnings
+    m3, X, _ = _build_collapsed_deep()
+    with pytest.warns(UserWarning, match="inner-propagation draw"):
+        precompute(m3)
+    # explicit key (or zs): the caller chose the draw — no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        precompute(m3, key=jax.random.PRNGKey(1))
+        precompute(m3, zs=[0.1, -0.2, 0.3])
+        # one inner layer: the collapsed inputs are the deterministic
+        # first-layer moments — nothing is frozen, no warning
+        m2, _, _ = _build_collapsed()
+        precompute(m2)
+
+
 def test_cached_export_roundtrip(tmp_path):
     from doubly_stochastic_dgp_tpu.serving import (export_predict_y,
                                                    load_exported)

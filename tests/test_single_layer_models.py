@@ -114,3 +114,21 @@ def test_fitc_equals_gpr_at_Z_eq_X():
         me, ve = np_gpr_predict(kf, X, Y, Xs, 0.3)
         assert_allclose(np.asarray(mean), me, rtol=1e-5, atol=1e-7)
         assert_allclose(np.asarray(var)[:, 0], ve, rtol=1e-4, atol=1e-7)
+
+
+def test_fitc_diag_variance_clamped_nonnegative():
+    """Round-2 ADVICE #3: at Z=X the FITC predictive residual
+    Kdiag - ||tmp1||^2 + ||tmp2||^2 cancels to roundoff at the training
+    points; the diag branch clamps at 0 (matching the GPR/SGPR layers
+    and the cached-posterior path), so live and cached variances agree
+    in sign under cancellation."""
+    from doubly_stochastic_dgp_tpu import precompute
+    X, Y, _, _ = _data(N=10, M=10)
+    with temp_config(jitter=1e-12):
+        kern = RBF.make(2, variance=1.0, lengthscales=0.6)
+        m = GPRFITC.build(X, Y, kern, X.copy(), noise_variance=1e-6)
+        _, var = m.predict_f(X)
+        assert np.all(np.asarray(var) >= 0.0)
+        post = precompute(m)
+        _, var_c = post.predict_f(X)
+        assert np.all(np.asarray(var_c) >= 0.0)

@@ -464,3 +464,15 @@ def test_summary_parameter_table():
     layer_rows = [ln for ln in rows if ln.startswith("layers.")]
     assert layer_rows and all(" no " in ln for ln in layer_rows)
     assert not any("q_sqrt" in ln for ln in rows)
+
+
+def test_evaluate_classification_default_S_matches_published():
+    """Round-2 VERDICT weak #5: the published MNIST numbers use S=100
+    (demo_mnist.ipynb cell 11); the default must match so default-relying
+    users get the parity-contract numbers."""
+    import inspect
+
+    from doubly_stochastic_dgp_tpu.training.loop import \
+        evaluate_classification
+    sig = inspect.signature(evaluate_classification)
+    assert sig.parameters["S"].default == 100
