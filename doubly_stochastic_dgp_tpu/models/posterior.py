@@ -375,10 +375,13 @@ def precompute(model, key=None, zs=None):
     ``predict_all_layers(_full_cov)``) but not training (``KL`` and the
     collapsed bounds raise).
     """
+    from ..utils.modules import assert_live
     from .damianou import DGPDamianou
     from .layers import GPRLayer, SGPRLayer
     from .single_layer import GPR as SLGPR, GPRFITC, SGPR as SLSGPR
     from .zoo import DGPCollapsed
+
+    assert_live(model)
 
     if isinstance(model, (SLGPR, SLSGPR)):
         lay = model._bound_layer()

@@ -61,6 +61,8 @@ def export_fn(fn: Callable, *example_args, path: Optional[str] = None):
     register_module_serialization()
     from jax import export
 
+    from .utils.modules import assert_live
+    assert_live(example_args, what="example-argument")
     exp = export.export(jax.jit(fn))(*example_args)
     data = exp.serialize()
     if path is not None:

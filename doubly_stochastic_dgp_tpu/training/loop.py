@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..utils.modules import log_prior
+from ..utils.modules import assert_live, log_prior
 from .natgrad import natgrad_update
 from .optim import freeze_q_params, masked_optimizer
 
@@ -207,6 +207,7 @@ def fit(model, iterations: int, learning_rate: float = 0.01,
     pattern, run_regression.py:93-94): (model, opt_state) are saved
     every ``ckpt_every`` (default log_every) steps, and if a checkpoint
     already exists in the directory, training resumes from it."""
+    assert_live(model)
     if scan_steps is None:
         scan_steps = max(1, min(10, log_every))
     chunk = max(1, scan_steps)
@@ -272,6 +273,7 @@ def evaluate_regression(model, Xs, Ys, Y_std, S: int = 100,
     from scipy.special import logsumexp
     from scipy.stats import norm
 
+    assert_live(model)
     Xs = np.asarray(Xs)
     Ys = np.asarray(Ys)
     key = jax.random.PRNGKey(seed)
@@ -317,6 +319,7 @@ def evaluate_classification(model, Xs, Ys, S: int = 100,
     The default S=100 matches the published MNIST numbers' setting
     (demo_mnist.ipynb cell 11 uses 100 samples; round-2 VERDICT weak
     #5: the old default 25 gave silently noisier numbers)."""
+    assert_live(model)
     Xs = np.asarray(Xs)
     Ys = np.asarray(Ys)
     key = jax.random.PRNGKey(seed)
@@ -358,6 +361,8 @@ def fit_dp(model, mesh, iterations: int, learning_rate: float = 0.01,
     from ..parallel.dp import (make_dp_scan_train_step,
                                make_dp_sp_scan_train_step)
     from ..parallel.mesh import replicate, shard_along
+
+    assert_live(model)
 
     n_data = mesh.shape[axis]
     N = int(model.X_data.shape[0])
