@@ -28,6 +28,7 @@ from .models.layers import (GPMCLayer, GPRLayer, SGPMCLayer, SGPRLayer,
                             SVGPLayer)
 from .models.mean_functions import Constant as ConstantMean
 from .models.mean_functions import Identity, Linear, Zero
+from .models.dynamic import DynamicPredictor
 from .models.posterior import CachedSVGPLayer, precompute
 from .models.single_layer import GPR, GPRFITC, SGPR, SVGP
 from .models.zoo import DGPCollapsed, DGPHeinonen, DGPHeteroscedastic
