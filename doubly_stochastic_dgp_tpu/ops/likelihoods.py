@@ -49,6 +49,16 @@ class Likelihood(Module):
 
     num_gauss_hermite_points: int = static_field(default=DEFAULT_NUM_GH)
 
+    # Does log p(Y | F) decompose as a sum of per-output-dim terms, each
+    # touching only its own F[..., d] / Y[..., d]?  True for every
+    # elementwise likelihood; MultiClass (robust-max couples the K
+    # latent dims) overrides to False.  Consumed by the output-dim
+    # parallel paths (parallel/outdim.py): factorizing likelihoods need
+    # no final gather — each device scores its own dims.  Deliberately
+    # a bare class attribute (not a dataclass field): it is a property
+    # of the likelihood TYPE, never per-instance state.
+    factorizes_over_dims = True
+
     # --- to be provided by subclasses -------------------------------------
     def logp(self, F, Y):
         raise NotImplementedError
@@ -164,6 +174,10 @@ class MultiClass(Likelihood):
     product of normal CDFs (the GPflow RobustMax construction; required
     for the MNIST benchmark, SURVEY §2.3, §6).
     """
+
+    # robust-max couples the K latent dims (argmax + CDF product):
+    # output-dim sharding must gather the final-layer moments first
+    factorizes_over_dims = False
 
     num_classes: int = static_field(default=2)
     epsilon: float = static_field(default=1e-3)

@@ -39,7 +39,9 @@ except ImportError:  # older jax
 from ..ops.linalg import safe_cholesky, safe_cholesky_ladder, tri_solve
 
 __all__ = ["damianou_shard", "dp_damianou_elbo",
-           "make_dp_damianou_train_step"]
+           "make_dp_damianou_train_step",
+           "collapsed_shard", "dp_collapsed_elbo",
+           "make_dp_collapsed_train_step"]
 
 _ROW_LEAVES = ("h_mean", "h_var", "X_data", "Y_data")
 
@@ -180,6 +182,131 @@ def dp_damianou_elbo(model, mesh: Mesh, axis: str = "data"):
         return total
 
     return _run(model)
+
+
+def collapsed_specs(model, axis: str = "data"):
+    """PartitionSpec pytree for a generic ``DGPCollapsed``: the stored
+    training rows shard over ``axis``; every parameter (inner SVGP
+    layers, collapsed final layer, likelihood) stays replicated."""
+
+    def spec_for(path, leaf):
+        names = _path_names(path)
+        if (("X_data" in names or "Y_data" in names)
+                and jnp.ndim(leaf) >= 1):
+            return P(axis, *([None] * (jnp.ndim(leaf) - 1)))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, model)
+
+
+def collapsed_shard(model, mesh: Mesh, axis: str = "data"):
+    """Place a generic DGPCollapsed: rows sharded, parameters replicated."""
+    specs = collapsed_specs(model, axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        model, specs)
+
+
+def dp_collapsed_elbo(model, mesh: Mesh, key=None, axis: str = "data",
+                      zs=None):
+    """The generic ``DGPCollapsed`` bound (reference model_zoo.py:46-57)
+    over the mesh — round-2 VERDICT next-step #2.
+
+    Each device MC-propagates its OWN training rows through the inner
+    (SVGP) layers with S=1 under a decorrelated per-device key (or the
+    row-sharded explicit ``zs``, which makes the value exactly equal —
+    up to psum reassociation — to the single-device bound with the same
+    zs), then:
+
+    - **SGPR final layer**: local psi-statistic moment blocks over the
+      local rows, ONE psum of ((M, M), (M, D), scalar, scalar), and the
+      replicated small collapsed algebra — the same stages 1-3 as the
+      Damianou path (the per-request cost center, psi stats over all N
+      rows, is what shards).  The propagated inner variance always
+      feeds the psi (uncertain-input) branch, exactly like the live
+      ``DGPCollapsed.elbo``.
+    - **GPR final layer**: the exact marginal needs the dense N x N
+      gram, which has no moment decomposition — the propagated means
+      are all_gathered (N x D_last, small) and the bound computed
+      replicated.  The O(N^3) Cholesky replicates; only the inner
+      propagation shards.
+
+    The inner KLs are replicated-parameter quantities, counted once.
+    With ``key=None`` and ``zs=None`` the inner draw uses PRNGKey(0)
+    folded per device.
+    """
+    from ..models.layers import GPRLayer, SGPRLayer
+
+    n_dev = mesh.shape[axis]
+    N = int(model.X_data.shape[0])
+    assert N % n_dev == 0, (
+        f"N={N} must divide the {n_dev}-device '{axis}' mesh axis")
+    last = model.layers[-1]
+    assert isinstance(last, (GPRLayer, SGPRLayer)), type(last)
+    specs = collapsed_specs(model, axis)
+    zs_specs = (None if zs is None
+                else [P(None, axis, None) for _ in zs])
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    @partial(shard_map, mesh=mesh, in_specs=(specs, P(), zs_specs),
+             out_specs=P())
+    def _run(m, key, zs_l):
+        dev = jax.lax.axis_index(axis)
+        _, ms, vs = m.inner_layers_propagate(
+            m.X_data, key=jax.random.fold_in(key, dev), full_cov=False,
+            zs=zs_l)
+        mu, sv = ms[-1][0], vs[-1][0]
+        lay = m.layers[-1]
+        sigma2_raw = m.likelihood.variance.value
+        KL = sum((l.KL() for l in m.layers[:-1]),
+                 jnp.zeros((), dtype=mu.dtype))
+        if isinstance(lay, GPRLayer):
+            # no moment decomposition: gather the (small) propagated
+            # means + targets, replicate the exact-GPR algebra
+            mu_full = jax.lax.all_gather(mu, axis, axis=0, tiled=True)
+            Y_full = jax.lax.all_gather(m.Y_data, axis, axis=0,
+                                        tiled=True)
+            bound = lay.set_data(mu_full, None, Y_full,
+                                 sigma2_raw).build_likelihood()
+            return jax.lax.pmean(bound, axis) - KL
+        lay = lay.set_data(mu, sv, m.Y_data, sigma2_raw)
+        sigma2 = lay._bound_variance()
+        # highest precision for the collapsed algebra (the same policy
+        # as SGPRLayer._common; see that docstring)
+        with jax.default_matmul_precision("highest"):
+            _, P2, P1T, sum_t2, sum_phi0 = _layer_moments(
+                lay, mu, sv, m.Y_data)
+            P2, P1T, sum_t2, sum_phi0 = jax.lax.psum(
+                (P2, P1T, sum_t2, sum_phi0), axis)
+            _, LB, c, tr_AAT = _assemble(lay, P2, P1T, sigma2)
+            bound = _layer_bound(mu.shape[0] * n_dev, m.Y_data.shape[1],
+                                 sigma2, LB, c, sum_t2, sum_phi0,
+                                 tr_AAT, mu.dtype)
+        return bound - KL
+
+    return _run(model, key, zs)
+
+
+def make_dp_collapsed_train_step(tx: optax.GradientTransformation,
+                                 mesh: Mesh, axis: str = "data"):
+    """Jitted dp train step for a generic DGPCollapsed: grads flow
+    through the shard_map (the moment psums transpose exactly), inner
+    variational/kernel parameters see the psum'd gradient, and a fresh
+    inner-propagation key is folded in per call."""
+
+    def loss_fn(model, key):
+        from ..utils.modules import log_prior
+        return -(dp_collapsed_elbo(model, mesh, key=key, axis=axis)
+                 + log_prior(model))
+
+    @jax.jit
+    def step(model, opt_state, key):
+        loss, grads = jax.value_and_grad(loss_fn)(model, key)
+        updates, opt_state = tx.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, loss
+
+    return step
 
 
 def make_dp_damianou_train_step(tx: optax.GradientTransformation,

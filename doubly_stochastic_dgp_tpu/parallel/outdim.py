@@ -9,14 +9,21 @@ the minibatch stay replicated.  Every device computes the conditional +
 reparameterized sample for its own slice of latent dimensions (the
 (D, M, M)-batched Cholesky/solve/matmul work XLA otherwise vmaps on one
 chip), and the sampled dims are all-gathered over ICI before the next
-layer consumes them — one (S, N, D_l) all_gather per layer.  Gaussian
-likelihoods and the KL factorize over dims, so the loss reduction is a
-single psum.
+layer consumes them — one (S, N, D_l) all_gather per layer.  Likelihoods that
+factorize over output dims (every elementwise one — Gaussian,
+Bernoulli, Poisson, ...) score each device's own dims and the loss
+reduction is a single psum; non-factorizing likelihoods (MultiClass —
+the robust-max construction couples the K latent dims, exactly
+SURVEY §2.4's motivating MNIST case of 10/30 latent GPs,
+demo_mnist.ipynb cell 5) take ONE extra all_gather of the final
+layer's (S, N, K) moments before the variational expectation (K is
+tiny; the gather rides ICI), with the targets replicated over the dim
+axis instead of column-sharded.
 
 Restrictions (asserted): homogeneous SVGP layers without input
-propagation, Zero/Identity/Linear/Constant mean functions, a Gaussian
-likelihood, and every layer's D_out (and D_Y) divisible by the axis
-size.
+propagation, Zero/Identity/Linear/Constant mean functions, and every
+layer's D_out (and D_Y, when the likelihood factorizes) divisible by
+the axis size.
 """
 
 from __future__ import annotations
@@ -34,7 +41,6 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from ..models.mean_functions import Identity, MeanFunction, Zero
-from ..ops.likelihoods import Gaussian
 from ..ops.linalg import reparameterize
 from ..utils.modules import static_field
 
@@ -65,10 +71,17 @@ def _path_names(path):
     return out
 
 
+def _factorizes(likelihood) -> bool:
+    return bool(getattr(likelihood, "factorizes_over_dims", True))
+
+
 def outdim_specs(model, axis: str = "dim"):
     """PartitionSpec pytree for ``model``: q_mu/q_sqrt/Linear-mean
     leaves sharded over ``axis`` on their D_out dimension, Y_data
-    sharded over its column axis, everything else replicated."""
+    sharded over its column axis (replicated instead for
+    non-factorizing likelihoods, whose targets every device scores),
+    everything else replicated."""
+    fact = _factorizes(model.likelihood)
 
     def spec_for(path, leaf):
         names = _path_names(path)
@@ -83,7 +96,7 @@ def outdim_specs(model, axis: str = "dim"):
                     return P(None, axis)
                 if "b" in names or "c" in names:
                     return P(axis)
-        if "Y_data" in names:
+        if "Y_data" in names and fact:
             return P(None, axis)
         return P(*([None] * rank))
 
@@ -129,8 +142,7 @@ def outdim_elbo(model, X, Y, key, mesh: Mesh, axis: str = "dim",
     :func:`outdim_shard` first for multi-chip placement.  ``zs`` (fixed
     whitened points per layer, each (S, 1, D_l) or (S, N, D_l)) makes
     the bound deterministic; they are sharded on their last axis."""
-    assert isinstance(model.likelihood, Gaussian), \
-        "output-dim sharding requires a factorizing (Gaussian) likelihood"
+    fact = _factorizes(model.likelihood)
     n_dev = mesh.shape[axis]
     B = batch_size or X.shape[0]
     specs = outdim_specs(model, axis)
@@ -138,7 +150,8 @@ def outdim_elbo(model, X, Y, key, mesh: Mesh, axis: str = "dim",
                 else [P(None, None, axis) for _ in zs])
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(specs, P(), P(None, axis), P(), zs_specs),
+             in_specs=(specs, P(), P(None, axis) if fact else P(), P(),
+                       zs_specs),
              out_specs=P())
     def run(model, X, Y_l, key, zs_l):
         m = _localize(model, n_dev, axis)
@@ -161,14 +174,23 @@ def outdim_elbo(model, X, Y, key, mesh: Mesh, axis: str = "dim",
                 # next layer consumes every dim: gather over ICI
                 F = jax.lax.all_gather(F_local, axis, axis=2,
                                        tiled=True)
-        ve = m.likelihood.variational_expectations(mean, var, Y_l)
-        local = jnp.sum(jnp.mean(ve, axis=0))
         KL_local = sum((l.KL() for l in m.layers),
-                       jnp.zeros((), dtype=local.dtype))
-        scale = jnp.asarray(m.num_data, dtype=local.dtype) / B
-        # both the likelihood term and the KL are sums over dims =>
-        # one psum of the local bound
-        return jax.lax.psum(local * scale - KL_local, axis)
+                       jnp.zeros((), dtype=mean.dtype))
+        scale = jnp.asarray(m.num_data, dtype=mean.dtype) / B
+        if fact:
+            ve = m.likelihood.variational_expectations(mean, var, Y_l)
+            local = jnp.sum(jnp.mean(ve, axis=0))
+            # both the likelihood term and the KL are sums over dims =>
+            # one psum of the local bound
+            return jax.lax.psum(local * scale - KL_local, axis)
+        # non-factorizing (MultiClass): gather the final (S, N, K)
+        # moments over ICI, score the full-dim expectation (identical
+        # on every dim device; pmean marks the replication)
+        mean = jax.lax.all_gather(mean, axis, axis=2, tiled=True)
+        var = jax.lax.all_gather(var, axis, axis=2, tiled=True)
+        ve = m.likelihood.variational_expectations(mean, var, Y_l)
+        like = jax.lax.pmean(jnp.sum(jnp.mean(ve, axis=0)), axis)
+        return like * scale - jax.lax.psum(KL_local, axis)
 
     return run(model, X, Y, key, zs)
 
@@ -181,8 +203,7 @@ def elbo_2d(model, X, Y, key, mesh: Mesh, data_axis: str = "data",
     layer's latent dims shard over ``dim_axis`` (model parallelism,
     per-layer all_gather) — the composed dp x tp layout.  The KL is
     summed over the dim axis and counted once per data replica."""
-    assert isinstance(model.likelihood, Gaussian), \
-        "output-dim sharding requires a factorizing (Gaussian) likelihood"
+    fact = _factorizes(model.likelihood)
     n_dim = mesh.shape[dim_axis]
     B = batch_size or X.shape[0]
     specs = outdim_specs(model, dim_axis)
@@ -190,8 +211,9 @@ def elbo_2d(model, X, Y, key, mesh: Mesh, data_axis: str = "data",
                 else [P(None, None, dim_axis) for _ in zs])
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(specs, P(data_axis), P(data_axis, dim_axis), P(),
-                       zs_specs),
+             in_specs=(specs, P(data_axis),
+                       P(data_axis, dim_axis) if fact else P(data_axis),
+                       P(), zs_specs),
              out_specs=P())
     def run(model, X_l, Y_l, key, zs_l):
         m = _localize(model, n_dim, dim_axis)
@@ -214,11 +236,22 @@ def elbo_2d(model, X, Y, key, mesh: Mesh, data_axis: str = "data",
             if li < len(m.layers) - 1:
                 F = jax.lax.all_gather(F_local, dim_axis, axis=2,
                                        tiled=True)
-        ve = m.likelihood.variational_expectations(mean, var, Y_l)
-        # likelihood terms: partial over BOTH rows and dims
-        like = jax.lax.psum(
-            jax.lax.psum(jnp.sum(jnp.mean(ve, axis=0)), dim_axis),
-            data_axis)
+        if fact:
+            ve = m.likelihood.variational_expectations(mean, var, Y_l)
+            # likelihood terms: partial over BOTH rows and dims
+            like = jax.lax.psum(
+                jax.lax.psum(jnp.sum(jnp.mean(ve, axis=0)), dim_axis),
+                data_axis)
+        else:
+            # gather the final (S, n_local, K) moments over the dim
+            # axis; every dim device scores its own rows' full-dim
+            # expectation (pmean marks dim replication), rows psum
+            mean = jax.lax.all_gather(mean, dim_axis, axis=2, tiled=True)
+            var = jax.lax.all_gather(var, dim_axis, axis=2, tiled=True)
+            ve = m.likelihood.variational_expectations(mean, var, Y_l)
+            like = jax.lax.psum(
+                jax.lax.pmean(jnp.sum(jnp.mean(ve, axis=0)), dim_axis),
+                data_axis)
         # KL: partial over dims only; replicated across data replicas
         KL = jax.lax.psum(
             sum((l.KL() for l in m.layers),
@@ -267,8 +300,7 @@ def elbo_3d(model, X, Y, key, mesh: Mesh, data_axis: str = "data",
     With explicit ``zs`` (each (S, 1|N, D_l), sharded over
     (sample, -, dim)) the value equals the single-device bound exactly.
     """
-    assert isinstance(model.likelihood, Gaussian), \
-        "output-dim sharding requires a factorizing (Gaussian) likelihood"
+    fact = _factorizes(model.likelihood)
     n_dim = mesh.shape[dim_axis]
     n_samp = mesh.shape[sample_axis]
     B = batch_size or X.shape[0]
@@ -282,8 +314,9 @@ def elbo_3d(model, X, Y, key, mesh: Mesh, data_axis: str = "data",
     S_local = model.num_samples // n_samp if zs is None else None
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(specs, P(data_axis), P(data_axis, dim_axis), P(),
-                       zs_specs),
+             in_specs=(specs, P(data_axis),
+                       P(data_axis, dim_axis) if fact else P(data_axis),
+                       P(), zs_specs),
              out_specs=P())
     def run(model, X_l, Y_l, key, zs_l):
         m = _localize(model, n_dim, dim_axis)
@@ -310,14 +343,21 @@ def elbo_3d(model, X, Y, key, mesh: Mesh, data_axis: str = "data",
             if li < len(m.layers) - 1:
                 F = jax.lax.all_gather(F_local, dim_axis, axis=2,
                                        tiled=True)
+        if not fact:
+            # gather the final (S_l, n_local, K) moments over the dim
+            # axis before the (dim-coupled) variational expectation
+            mean = jax.lax.all_gather(mean, dim_axis, axis=2, tiled=True)
+            var = jax.lax.all_gather(var, dim_axis, axis=2, tiled=True)
         ve = m.likelihood.variational_expectations(mean, var, Y_l)
         like = jnp.sum(jnp.mean(ve, axis=0))
         # one axis per collective call (mixed varying states are
         # rejected; see parallel/dp.py): average the equal-size sample
-        # groups, then sum rows and dims
+        # groups, then sum rows and dims (pmean over dims when the
+        # gathered expectation is already replicated across them)
         like = jax.lax.pmean(like, sample_axis)
         like = jax.lax.psum(like, data_axis)
-        like = jax.lax.psum(like, dim_axis)
+        like = (jax.lax.psum(like, dim_axis) if fact
+                else jax.lax.pmean(like, dim_axis))
         KL = jax.lax.psum(
             sum((l.KL() for l in m.layers),
                 jnp.zeros((), dtype=like.dtype)), dim_axis)

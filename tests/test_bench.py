@@ -47,6 +47,26 @@ def test_bench_build_and_measure_tiny():
     assert bench.achievable_ceiling(128) == bench.F32_MATMUL_CEILING
 
 
+def test_bench_collapsed_rows_tiny():
+    """The collapsed-family matrix rows (round-2 VERDICT next-step #4)
+    build + train through the generic measure() path."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    args = argparse.Namespace(steps=2, batch=64, layers=2, num_samples=1,
+                              pallas=False, inner_steps=2, with_cpu=False)
+    bench._set_numerics(args)
+    X, Y, _ = bench._regression_data()
+    for build in (bench.build_damianou, bench.build_collapsed):
+        m = build(X, Y, M=8, L=2, N=64)
+        flops = bench.collapsed_step_flops(m, 8, 64)
+        assert flops > 0
+        rate, loss, _ = bench.measure(m, None, 2, warmup=1,
+                                      inner_steps=2)
+        assert rate > 0
+        assert np.isfinite(loss)
+
+
 def test_bench_serving_rows_tiny(monkeypatch):
     sys.path.insert(0, REPO)
     import bench

@@ -71,3 +71,122 @@ def test_dp_damianou_training_improves():
     assert float(loss) < loss0 - 1.0
     # the sharded q(H) state moved (it trains in place on its devices)
     assert float(jnp.std(model.h_var[0].value)) > 0
+
+
+# ---------------------------------------------------------------------------
+# Generic DGPCollapsed over the mesh (round-2 VERDICT next-step #2): MC
+# inner layers propagate locally, the collapsed moments psum.
+# ---------------------------------------------------------------------------
+
+def _collapsed_model(N=32, D=2, D_Y=2, M=8, L=2, last="sgpr", seed=3):
+    """L-layer DGPCollapsed: (L-1) stochastic SVGP inner layers + a
+    collapsed final layer (SGPR or exact GPR)."""
+    from doubly_stochastic_dgp_tpu.models.layers import (GPRLayer,
+                                                         SGPRLayer)
+    rng = np.random.RandomState(seed)
+    X = rng.randn(N, D)
+    Y = np.sin(X[:, :1]) + np.linspace(0, 1, D_Y)[None] \
+        + 0.1 * rng.randn(N, D_Y)
+    Z = X[:M].copy()
+    kerns = [dsd.RBF.make(D) for _ in range(L)]
+    layers = dsd.init_layers_linear(X, Y, Z, kerns, num_outputs=D_Y)
+    if last == "sgpr":
+        fin = SGPRLayer.make(layers[-1].kern,
+                             np.asarray(layers[-1].Z.value), D_Y,
+                             layers[-1].mean_function)
+    else:
+        fin = GPRLayer.make(layers[-1].kern, layers[-1].mean_function,
+                            D_Y)
+    inner = []
+    for l in layers[:-1]:
+        inner.append(l.replace(q_mu=l.q_mu.with_value(
+            rng.randn(*l.q_mu.value.shape) * 0.4)))
+    m = dsd.DGPCollapsed.make(X, Y, dsd.Gaussian.make(0.05),
+                              inner + [fin])
+    return m, X, Y
+
+
+def _collapsed_oracle(m, zs):
+    """Single-device bound with the same fixed inner draws."""
+    last = m._collapsed_last_layer(key=jax.random.PRNGKey(0), zs=zs)
+    KL = sum((l.KL() for l in m.layers[:-1]),
+             jnp.zeros((), dtype=m.X_data.dtype))
+    return last.build_likelihood() - KL
+
+
+def _fixed_zs(m, seed=1):
+    rng = np.random.RandomState(seed)
+    N = m.X_data.shape[0]
+    return [jnp.asarray(rng.randn(1, N, l.num_outputs))
+            for l in m.layers]
+
+
+def test_dp_collapsed_elbo_equals_single_device():
+    from doubly_stochastic_dgp_tpu.parallel.collapsed import (
+        collapsed_shard, dp_collapsed_elbo)
+    m, _, _ = _collapsed_model()
+    mesh = make_mesh()
+    zs = _fixed_zs(m)
+    ref = float(_collapsed_oracle(m, zs))
+    sharded = collapsed_shard(m, mesh)
+    got = float(dp_collapsed_elbo(sharded, mesh, zs=zs))
+    np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+
+def test_dp_collapsed_three_layer_elbo_equals_single_device():
+    """Two stochastic inner layers: the sharded inner propagation (same
+    row-sharded zs) feeds the same collapsed moments."""
+    from doubly_stochastic_dgp_tpu.parallel.collapsed import \
+        dp_collapsed_elbo
+    m, _, _ = _collapsed_model(L=3, N=24, M=6)
+    mesh = make_mesh()
+    zs = _fixed_zs(m, seed=2)
+    ref = float(_collapsed_oracle(m, zs))
+    got = float(dp_collapsed_elbo(m, mesh, zs=zs))
+    np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+
+def test_dp_collapsed_gpr_final_layer_equals_single_device():
+    from doubly_stochastic_dgp_tpu.parallel.collapsed import \
+        dp_collapsed_elbo
+    m, _, _ = _collapsed_model(last="gpr", N=24, M=6)
+    mesh = make_mesh()
+    zs = _fixed_zs(m, seed=4)
+    ref = float(_collapsed_oracle(m, zs))
+    got = float(dp_collapsed_elbo(m, mesh, zs=zs))
+    np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+
+def test_dp_collapsed_grads_equal_single_device():
+    from doubly_stochastic_dgp_tpu.parallel.collapsed import \
+        dp_collapsed_elbo
+    m, _, _ = _collapsed_model(N=16, M=4)
+    mesh = make_mesh()
+    zs = _fixed_zs(m, seed=5)
+
+    g1 = jax.tree_util.tree_leaves(
+        jax.grad(lambda mm: -_collapsed_oracle(mm, zs))(m))
+    g2 = jax.tree_util.tree_leaves(
+        jax.grad(lambda mm: -dp_collapsed_elbo(mm, mesh, zs=zs))(m))
+    assert len(g1) == len(g2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_dp_collapsed_training_improves():
+    from doubly_stochastic_dgp_tpu.parallel.collapsed import (
+        collapsed_shard, make_dp_collapsed_train_step)
+    m, _, _ = _collapsed_model()
+    mesh = make_mesh()
+    m = collapsed_shard(m, mesh)
+    tx = masked_optimizer(optax.adam(0.02), m)
+    st = tx.init(m)
+    step = make_dp_collapsed_train_step(tx, mesh)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(20):
+        m, st, loss = step(m, st, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.all(np.isfinite(losses))

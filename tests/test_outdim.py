@@ -173,3 +173,113 @@ def test_3d_mesh_train_step_improves():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.all(np.isfinite(losses))
+
+
+def _mnist_shape_model(N=16, D=784, H=12, K=10, M=8, S=2):
+    """The MNIST-shape MultiClass DGP of SURVEY §2.4 / demo_mnist.ipynb
+    cell 5 (784 -> hidden -> 10 latent GPs under robust-max), tiny
+    N/M/H so the f64 CPU oracle stays cheap (the PCA step-down needs
+    N >= hidden width)."""
+    from doubly_stochastic_dgp_tpu import MultiClass
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(N, D)
+    Y = rng.randint(0, K, size=(N, 1))
+    Z = X[:M].copy()
+    kerns = [RBF.make(D), RBF.make(H)]
+    m = DGP.build(X, Y, Z, kerns, MultiClass.make(K), num_samples=S,
+                  num_outputs=K)
+    # non-trivial q_mu so the robust-max expectation has real structure
+    layers = [l.replace(q_mu=l.q_mu.with_value(
+        rng.randn(*l.q_mu.value.shape) * 0.5)) for l in m.layers]
+    return m.replace(layers=layers)
+
+
+def test_outdim_multiclass_elbo_matches_single_device():
+    """Round-2 VERDICT next-step #1: the MNIST-shape MultiClass model
+    trains dim-sharded — the final-layer moments all_gather before the
+    (dim-coupled) robust-max variational expectation."""
+    m = _mnist_shape_model()
+    mesh = make_mesh(num_devices=2, axis="dim")
+    S = m.num_samples
+    rng = np.random.RandomState(11)
+    zs = [jnp.asarray(rng.randn(S, 1, l.num_outputs)) for l in m.layers]
+
+    ref = float(_single_device_elbo(m, zs))
+    got = float(outdim_elbo(m, m.X_data, m.Y_data, None, mesh,
+                            axis="dim", zs=zs))
+    assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_outdim_multiclass_gradients_match_single_device():
+    m = _mnist_shape_model(N=8, D=12, H=4, K=4, M=4, S=1)
+    mesh = make_mesh(num_devices=2, axis="dim")
+    rng = np.random.RandomState(12)
+    zs = [jnp.asarray(rng.randn(1, 1, l.num_outputs)) for l in m.layers]
+
+    def loss_single(model):
+        return -_single_device_elbo(model, zs)
+
+    def loss_tp(model):
+        return -outdim_elbo(model, model.X_data, model.Y_data, None,
+                            mesh, axis="dim", zs=zs)
+
+    g1 = jax.tree_util.tree_leaves(jax.grad(loss_single)(m))
+    g2 = jax.tree_util.tree_leaves(jax.grad(loss_tp)(m))
+    assert len(g1) == len(g2)
+    for a, b in zip(g1, g2):
+        assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-9,
+                        atol=1e-12)
+
+
+def test_2d_mesh_multiclass_elbo_and_train_step():
+    """The composed data x dim mesh (4 x 2) on the MNIST-shape
+    MultiClass model: exact equality with fixed zs, then the jitted
+    train step improves the stochastic bound."""
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from doubly_stochastic_dgp_tpu.parallel.outdim import (
+        elbo_2d, make_2d_train_step, outdim_specs)
+
+    m = _mnist_shape_model(N=16, D=20, H=6, K=10, M=6, S=2)
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "dim"))
+    S = m.num_samples
+    rng = np.random.RandomState(13)
+    zs = [jnp.asarray(rng.randn(S, 1, l.num_outputs)) for l in m.layers]
+
+    ref = float(_single_device_elbo(m, zs))
+    got = float(elbo_2d(m, m.X_data, m.Y_data, None, mesh, zs=zs))
+    assert_allclose(got, ref, rtol=1e-12)
+
+    specs = outdim_specs(m, "dim")
+    m = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), m, specs)
+    X = jax.device_put(m.X_data, NamedSharding(mesh, P("data")))
+    Y = jax.device_put(m.Y_data, NamedSharding(mesh, P("data")))
+    tx = optax.adam(0.02)
+    st = tx.init(m)
+    step = make_2d_train_step(tx, mesh)
+    losses = []
+    for i in range(12):
+        m, st, loss = step(m, st, X, Y,
+                           jax.random.fold_in(jax.random.PRNGKey(0), i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.all(np.isfinite(losses))
+
+
+def test_3d_mesh_multiclass_elbo_matches_single_device():
+    from jax.sharding import Mesh
+    from doubly_stochastic_dgp_tpu.parallel.outdim import elbo_3d
+
+    m = _mnist_shape_model(N=8, D=10, H=4, K=4, M=4, S=4)
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("data", "sample", "dim"))
+    S = m.num_samples
+    rng = np.random.RandomState(14)
+    zs = [jnp.asarray(rng.randn(S, 1, l.num_outputs)) for l in m.layers]
+
+    ref = float(_single_device_elbo(m, zs))
+    got = float(elbo_3d(m, m.X_data, m.Y_data, None, mesh, zs=zs))
+    assert_allclose(got, ref, rtol=1e-12)

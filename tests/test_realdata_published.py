@@ -82,3 +82,61 @@ def test_published_mnist_numbers():
     # differences, same spirit as the kin8nm LL_TOL)
     assert res["accuracy"] >= 0.9794 - 0.012, res
     assert res["test_loglik"] >= -0.0731 - 0.05, res
+
+
+# ---------------------------------------------------------------------------
+# Round-2 VERDICT next-step #7: the realdata contract covers EVERY UCI
+# loader — drop any real CSV under data/ and ``pytest -m realdata``
+# asserts its loader -> split -> normalize pipeline with zero edits.
+# ---------------------------------------------------------------------------
+
+_UCI = {  # name -> (nominal N, nominal D) from the registry
+    "boston": (506, 12), "concrete": (1030, 8), "energy": (768, 8),
+    "kin8nm": (8192, 8), "naval": (11934, 12), "power": (9568, 4),
+    "protein": (45730, 9), "wine_red": (1599, 11),
+    "wine_white": (4898, 11),
+}
+
+
+@pytest.mark.realdata
+@pytest.mark.parametrize("name", sorted(_UCI))
+def test_uci_loader_pipeline_on_real_csv(name):
+    """Loader -> seeded split -> per-split normalization on the real
+    CSV: row/column counts match the registry, the test-split-std quirk
+    (reference datasets.py:76-77) holds, splits are deterministic per
+    (seed, split) and differ across splits."""
+    import numpy as np
+
+    from doubly_stochastic_dgp_tpu.data.datasets import Datasets
+
+    ds = Datasets(data_path=os.path.join(REPO, "data") + os.sep) \
+        .all_datasets[name]
+    if not os.path.exists(ds.csv_file_path()):
+        pytest.skip(f"data/{name}.csv not present (zero egress)")
+
+    N, D = _UCI[name]
+    d = ds.get_data(split=0)
+    n_train = int(N * 0.9)
+    assert d["X"].shape == (n_train, D)
+    assert d["Xs"].shape == (N - n_train, D)
+    assert d["Y"].shape == (n_train, 1)
+    assert d["Ys"].shape == (N - n_train, 1)
+    assert d["X_mean"].shape == (D,) and d["X_std"].shape == (D,)
+    assert d["Y_mean"].shape == (1,) and d["Y_std"].shape == (1,)
+    for k in ("X", "Y", "Xs", "Ys"):
+        assert np.all(np.isfinite(d[k])), f"{name}.{k} has non-finite"
+    # normalization contract: centered on the TRAIN mean, scaled by the
+    # TEST-split std (the reference's quirk the published numbers need)
+    assert np.allclose(d["X"].mean(0), 0.0, atol=1e-9)
+    # (skip any near-constant raw column, where the 1e-6 std guard
+    # dominates — e.g. naval's quantized inputs)
+    live = d["X_std"] > 1e-5
+    assert np.allclose(d["Xs"].std(0)[live] * d["X_std"][live]
+                       / (d["X_std"][live] - 1e-6), 1.0, atol=1e-6)
+    assert np.allclose(d["Ys"].std(0) * d["Y_std"]
+                       / (d["Y_std"] - 1e-6), 1.0, atol=1e-6)
+    # determinism + split independence
+    d2 = ds.get_data(split=0)
+    assert np.array_equal(d["X"], d2["X"])
+    d3 = ds.get_data(split=1)
+    assert not np.array_equal(d["X"], d3["X"])
