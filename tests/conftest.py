@@ -111,6 +111,19 @@ SLOW_TESTS = {
     "test_psi_stats.py::test_random_sum_compositions_vs_quadrature",
     "test_pallas_conditional.py::test_gradient_parity",
     "test_single_layer_models.py::test_fitc_vs_dense_marginal",
+    # round-3 re-tier (VERDICT weak #6): the continuation sessions'
+    # heaviest additions move out of the fast tier; kept-fast oracles
+    # per component: posterior -> cached_equals_live_inverse +
+    # cached_heinonen; dynamic -> one_compile_services_every_S;
+    # training -> donated-model guard + fit oracles.
+    "test_training.py::test_remat_is_value_and_grad_exact_and_in_jaxpr",
+    "test_training.py::test_training_objective_includes_parameter_priors",
+    "test_posterior.py::test_cached_collapsed_composes_with_mesh_prediction",
+    "test_posterior.py::test_cached_collapsed_sgpr_matches_live",
+    "test_posterior.py::test_cached_damianou_matches_live",
+    "test_posterior.py::test_cached_single_layer_baselines_match_live",
+    "test_zoo.py::test_sgpmc_multi_output_hidden_layer",
+    "test_dynamic.py::test_exact_vs_plain_methods_single_layer",
 }
 
 
