@@ -70,10 +70,12 @@ def main():
     # calibration: no-op scan at the (M, M) carry shape
     rec("scan_overhead (noop)", scan_time(lambda c: c + 1e-12, A0))
 
-    # gram Kuf: couple via the output's first row
+    # gram Kuf: couple via a full row-sum so XLA cannot DCE any column
+    # (an earlier [:, :M] slice coupling let XLA drop 15/16 of the work
+    # and report above-ceiling TF/s)
     def f_kuf(c):
         K = kern.K(Z + 1e-12 * c[:, :D], X)
-        return c + 1e-12 * K[:, :M]
+        return c + 1e-12 * jnp.sum(K, axis=1, keepdims=True)
     rec("gram_kuf (M x 8192)", scan_time(f_kuf, A0), 2 * R * M * D)
 
     def f_chol(c):
@@ -86,20 +88,26 @@ def main():
         return c + 1e-12 * L
     rec("raw cholesky M=512", scan_time(f_cholraw, A0), M ** 3 / 3)
 
+    def f_cholgrad(c):
+        g = jax.grad(lambda a: jnp.sum(safe_cholesky(a, 1e-5)))(c)
+        return c + 1e-12 * g
+    rec("safe_chol fwd+bwd M=512", scan_time(f_cholgrad, A0),
+        2 * M ** 3 / 3)
+
     def f_inv(c):
         return jnp.tril(inv_lower(jnp.tril(c) + jnp.eye(M)))
     rec("inv_lower M=512", scan_time(f_inv, L0), M ** 3 / 3)
 
     def f_g(c):
         G = c @ Kuf0
-        return c + 1e-12 * G[:, :M]
+        return c + 1e-12 * jnp.sum(G, axis=1, keepdims=True)
     rec("matmul (M,M)@(M,8192)", scan_time(f_g, L0), 2 * M * M * R)
 
     # HIGHEST-precision variant of the same matmul (the 'mixed' tier's
     # staging cost)
     def f_gh(c):
         G = jnp.matmul(c, Kuf0, precision=jax.lax.Precision.HIGHEST)
-        return c + 1e-12 * G[:, :M]
+        return c + 1e-12 * jnp.sum(G, axis=1, keepdims=True)
     rec("matmul HIGHEST same shape", scan_time(f_gh, L0), 2 * M * M * R)
 
     # batched (2, M, M) factorizations: the cross-layer batching lever

@@ -117,6 +117,84 @@ def test_tri_solve_inverse_mode_matches():
     assert_allclose(np.asarray(x1t), np.asarray(x2t), rtol=1e-8, atol=1e-8)
 
 
+def _toplevel_primitive_count(closed, name):
+    """Occurrences of a primitive on the unconditional path of a jaxpr:
+    recurses through call-like sub-jaxprs (pjit, custom_vjp_call, ...)
+    but NOT into cond branches — those only execute on escalation."""
+    from jax.extend.core import Jaxpr
+
+    def walk(jaxpr):
+        n = 0
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == name:
+                n += 1
+            if eqn.primitive.name == "cond":
+                continue
+            for v in eqn.params.values():
+                for j in jax.tree_util.tree_leaves(
+                        v, is_leaf=lambda x: isinstance(x, Jaxpr)
+                        or hasattr(x, "jaxpr")):
+                    if isinstance(j, Jaxpr):
+                        n += walk(j)
+                    elif hasattr(j, "jaxpr") and isinstance(j.jaxpr, Jaxpr):
+                        n += walk(j.jaxpr)
+        return n
+
+    return walk(closed.jaxpr)
+
+
+def test_safe_cholesky_one_factorization_on_healthy_path():
+    """Round-3 perf contract (PERF.md M=512 profile): the live
+    factorization runs once at the top level and the escalation rungs
+    sit behind a lax.cond — the old always-on stop-gradient probe design
+    cost 3 factorizations per call, ~1/3 of the whole large_M step."""
+    from doubly_stochastic_dgp_tpu.ops.linalg import (safe_cholesky,
+                                                      safe_cholesky_ladder)
+
+    K = jnp.eye(8) * 2.0
+    jaxpr = jax.make_jaxpr(lambda k: safe_cholesky(k, 1e-6))(K)
+    assert _toplevel_primitive_count(jaxpr, "cholesky") == 1, jaxpr
+    assert _toplevel_primitive_count(jaxpr, "cond") >= 1, jaxpr
+
+    jaxpr_l = jax.make_jaxpr(safe_cholesky_ladder)(K)
+    assert _toplevel_primitive_count(jaxpr_l, "cholesky") == 1, jaxpr_l
+    assert _toplevel_primitive_count(jaxpr_l, "cond") >= 1, jaxpr_l
+
+    # and the backward pass is the closed-form pullback: no extra
+    # cholesky at the grad jaxpr's top level either
+    jaxpr_g = jax.make_jaxpr(
+        jax.grad(lambda k: jnp.sum(safe_cholesky(k, 1e-6))))(K)
+    assert _toplevel_primitive_count(jaxpr_g, "cholesky") == 1, jaxpr_g
+
+
+def test_safe_cholesky_grad_matches_native_cholesky():
+    """The custom Cholesky pullback agrees with jax's native VJP to
+    machine epsilon on symmetric inputs (the only inputs the framework
+    ever factorizes), including through downstream uses of both L and
+    L^T and for batched (D, M, M) operands."""
+    rng = np.random.RandomState(0)
+    from doubly_stochastic_dgp_tpu.ops.linalg import safe_cholesky
+
+    for shape in ((9, 9), (3, 6, 6)):
+        A = rng.randn(*shape)
+        K = jnp.asarray(A @ np.swapaxes(A, -1, -2)
+                        + shape[-1] * np.eye(shape[-1]))
+
+        def f(K, chol):
+            L = chol(K)
+            return (jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
+                    + jnp.sum((L @ jnp.swapaxes(L, -1, -2)) ** 2)
+                    + jnp.sum(L[..., -1, :]))
+
+        eye = jnp.eye(shape[-1])
+        g_new = jax.grad(lambda k: f(k, lambda a: safe_cholesky(a, 1e-12)))(K)
+        g_nat = jax.grad(
+            lambda k: f(k, lambda a: jnp.linalg.cholesky(a + 1e-12 * eye)))(K)
+        sym = lambda g: 0.5 * (g + jnp.swapaxes(g, -1, -2))
+        assert_allclose(np.asarray(sym(g_new)), np.asarray(sym(g_nat)),
+                        rtol=1e-12, atol=1e-12)
+
+
 def test_safe_cholesky_ladder_zero_rung_is_exact():
     """When the plain factorization succeeds, the 0.0 first rung returns
     bitwise the same factor as jnp.linalg.cholesky."""
