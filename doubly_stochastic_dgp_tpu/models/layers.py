@@ -290,7 +290,7 @@ class SVGPLayer(Layer):
         'mixed' falls back to full 'highest'.
         """
         if self.precision == "highest" or (
-                self.precision in ("mixed", "mixed_g")
+                self.precision in ("mixed", "mixed_g", "mixed_high")
                 and (self.solve_mode != "inverse" or full_cov)):
             with jax.default_matmul_precision("highest"):
                 return self._conditional_ND_impl(X, full_cov)
@@ -333,11 +333,21 @@ class SVGPLayer(Layer):
             # cancellation at Kff scale; alpha/C/mean stay at the fast
             # default.  'mixed' (the framework default) pins all four
             # staging contractions.
+            # 'mixed_high' (experimental sub-tier, round-3): the same
+            # four staging contractions as 'mixed' but at the 3-pass
+            # HIGH algorithm (~2x the 6-pass HIGHEST rate on v5e).
+            # On-chip verdict (PERF.md round-3): +14% step rate at
+            # MXU-bound shapes (large_M 61.5% vs 53.7% of achievable)
+            # for a measured ~0.03-0.05-nat loglik cost at converged
+            # horizons — kept as an explicit knob, NOT the default.
             prec = (jax.lax.Precision.HIGHEST
-                    if self.precision == "mixed" else None)
+                    if self.precision == "mixed"
+                    else jax.lax.Precision.HIGH
+                    if self.precision == "mixed_high" else None)
             prec_g = (jax.lax.Precision.HIGHEST
                       if self.precision in ("mixed", "mixed_g")
-                      else None)
+                      else jax.lax.Precision.HIGH
+                      if self.precision == "mixed_high" else None)
             Li = inv_lower(Lu)                                 # (M, M)
             G = jnp.matmul(Li, Kuf, precision=prec_g)          # (M, B)
             if self.white:
@@ -412,7 +422,8 @@ class SVGPLayer(Layer):
         # HIGHEST, so match the contract here too ('highest' is already
         # wrapped one level up in conditional_ND).
         prec_ctx = (jax.default_matmul_precision("highest")
-                    if self.precision == "mixed" else _nullcontext())
+                    if self.precision in ("mixed", "mixed_high")
+                    else _nullcontext())
         with prec_ctx:
             Ku, Lu = self._chol_Kuu()
             SK = self._SK(Ku)

@@ -121,16 +121,21 @@ class CachedSVGPLayer(Layer):
         the live ``solve_mode='inverse'`` sum-of-squares branch at
         models/layers.py::SVGPLayer._conditional_ND_impl."""
         if self.precision == "highest" or (
-                self.precision in ("mixed", "mixed_g") and full_cov):
+                self.precision in ("mixed", "mixed_g", "mixed_high")
+                and full_cov):
             with jax.default_matmul_precision("highest"):
                 return self._impl(X, full_cov)
         return self._impl(X, full_cov)
 
     def _impl(self, X, full_cov):
         prec = (jax.lax.Precision.HIGHEST
-                if self.precision == "mixed" else None)
+                if self.precision == "mixed"
+                else jax.lax.Precision.HIGH
+                if self.precision == "mixed_high" else None)
         prec_g = (jax.lax.Precision.HIGHEST
-                  if self.precision in ("mixed", "mixed_g") else None)
+                  if self.precision in ("mixed", "mixed_g")
+                  else jax.lax.Precision.HIGH
+                  if self.precision == "mixed_high" else None)
         Kuf = self.kern.K(self.Z, X)                           # (M, B)
         G = jnp.matmul(self.Li, Kuf, precision=prec_g)         # (M, B)
         mean = jnp.matmul(G.T, self.alpha, precision=prec)     # (B, D)

@@ -239,3 +239,36 @@ def test_mixed_g_tier_pins_g_only():
     for p in ("mixed_g", "mixed"):
         for a, b in zip(vals["default"], vals[p]):
             assert_allclose(a, b, rtol=1e-12)
+
+
+def test_mixed_high_tier_pins_high_on_staging():
+    """The experimental 'mixed_high' sub-tier (round-3) runs the same
+    four staging contractions 'mixed' pins at HIGHEST at the 3-pass
+    HIGH algorithm instead: the jaxpr carries exactly as many HIGH-only
+    dots as 'mixed' adds HIGHEST dots over 'default', its HIGHEST count
+    equals 'default' (kernel-gram internal dots only), and in f64 the
+    values are a pure no-op vs 'default'."""
+    import jax
+    from doubly_stochastic_dgp_tpu.models.mean_functions import Zero
+
+    np.random.seed(0)
+    M, B, Din, Dout = 8, 6, 3, 2
+    Z = np.random.randn(M, Din)
+    X = jnp.asarray(np.random.randn(B, Din))
+    kern = RBF.make(Din, variance=1.1, lengthscales=0.7)
+    layer = SVGPLayer.make(kern, Z, Dout, Zero(output_dim=Dout),
+                           solve_mode="inverse")
+    highest, high_only, vals = {}, {}, {}
+    for p in ("default", "mixed", "mixed_high"):
+        lp = layer.replace(precision=p)
+        jaxpr = str(jax.make_jaxpr(lambda x: lp.conditional_ND(x))(X))
+        highest[p] = jaxpr.count("HIGHEST")
+        high_only[p] = jaxpr.count("HIGH") - jaxpr.count("HIGHEST")
+        vals[p] = [np.asarray(v) for v in lp.conditional_ND(X)]
+    assert high_only["mixed_high"] > 0
+    assert high_only["default"] == high_only["mixed"] == 0
+    assert highest["mixed_high"] == highest["default"]
+    assert (high_only["mixed_high"]
+            == highest["mixed"] - highest["default"])
+    for a, b in zip(vals["default"], vals["mixed_high"]):
+        assert_allclose(a, b, rtol=1e-12)
