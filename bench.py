@@ -238,11 +238,15 @@ def measure(model, batch_size, steps, warmup=5, inner_steps=1):
 
 
 MATRIX = [
-    # name, layers, M, S, batch, kind
+    # name, layers, M, S, batch, kind[, precision override]
     ("paper_L2", 2, 100, 1, 10000, "reg"),
     ("paper_L5", 5, 100, 1, 10000, "reg"),
     ("mnist_dgp2", 2, 100, 1, 1000, "mnist"),
     ("large_M", 2, 512, 1, 8192, "reg"),
+    # the 3-pass-staging throughput knob at the MXU-bound shape
+    # (PERF.md round-3 'mixed_high' verdict: +14% rate, ~0.03-0.05-nat
+    # converged-horizon cost — the tier ladder on the record each round)
+    ("large_M_high_staging", 2, 512, 1, 8192, "reg", "mixed_high"),
     # collapsed family (full batch; psi-stats HIGHEST cost on record —
     # round-2 VERDICT next-step #4)
     ("damianou_L2", 2, 100, 1, 1500, "damianou"),
@@ -251,8 +255,9 @@ MATRIX = [
 
 
 def run_matrix(args, X, Y):
+    from doubly_stochastic_dgp_tpu import with_config
     rows = []
-    for name, L, M, S, batch, kind in MATRIX:
+    for name, L, M, S, batch, kind, *prec in MATRIX:
         if kind == "mnist":
             model = build_mnist_shape(M=M)
             B = min(batch, 6000)
@@ -265,6 +270,8 @@ def run_matrix(args, X, Y):
         else:
             model = build_regression(X, Y, L, M, S)
             B = min(batch, X.shape[0])
+        if prec:
+            model = with_config(model, precision=prec[0])
         # flops from the pytree BEFORE measure() donates its buffers
         if kind in ("damianou", "collapsed"):
             flops = collapsed_step_flops(model, M, batch)
@@ -280,6 +287,7 @@ def run_matrix(args, X, Y):
         sustained = flops * rate
         rows.append({
             "name": name, "layers": L, "M": M, "S": S,
+            **({"precision": prec[0]} if prec else {}),
             "batch": B if B is not None else batch,
             "steps_per_sec": round(rate, 2),
             "flops_per_step": float(f"{flops:.3g}"),

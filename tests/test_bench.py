@@ -99,3 +99,28 @@ def test_graft_entry():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_bench_matrix_precision_override_tiny():
+    """The tier-ladder matrix row (large_M_high_staging) carries a
+    per-row precision override; the override path (with_config before
+    measure) trains finitely at a tiny shape."""
+    sys.path.insert(0, REPO)
+    import bench
+    from doubly_stochastic_dgp_tpu import with_config
+
+    by_name = {row[0]: row for row in bench.MATRIX}
+    assert by_name["large_M_high_staging"][6] == "mixed_high"
+    assert all(len(row) == 6 for name, row in by_name.items()
+               if name != "large_M_high_staging")
+
+    args = argparse.Namespace(steps=2, batch=32, layers=2, num_samples=1,
+                              pallas=False, inner_steps=2, with_cpu=False)
+    bench._set_numerics(args)
+    X, Y, _ = bench._regression_data()
+    m = with_config(bench.build_regression(X, Y, 2, 8, 1),
+                    precision="mixed_high")
+    assert all(layer.precision == "mixed_high" for layer in m.layers)
+    rate, loss, _ = bench.measure(m, 32, 2, warmup=1, inner_steps=2)
+    assert rate > 0
+    assert np.isfinite(loss)
