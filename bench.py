@@ -43,6 +43,7 @@ fused step).  Re-measure with --with-cpu.
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -257,7 +258,10 @@ MATRIX = [
 def run_matrix(args, X, Y):
     from doubly_stochastic_dgp_tpu import with_config
     rows = []
+    only = getattr(args, "only", None)
     for name, L, M, S, batch, kind, *prec in MATRIX:
+        if only and not re.search(only, name):
+            continue
         if kind == "mnist":
             model = build_mnist_shape(M=M)
             B = min(batch, 6000)
@@ -279,9 +283,14 @@ def run_matrix(args, X, Y):
         else:
             flops = step_flops(model, M, S, B)
             mxu_bound = True
-        steps = args.matrix_steps if mxu_bound else args.matrix_steps // 3
+        # Collapsed-family steps are sub-ms since the round-3
+        # safe_cholesky custom_vjp fix; at the old inner=5 the damianou
+        # row read the dispatch RTT, not compute (measured 398 vs 3735
+        # steps/s across sessions = tunnel noise, PERF.md round-3).
+        # Full batch + tiny step -> amortize hard, like the headline.
+        steps = args.matrix_steps if mxu_bound else args.matrix_steps * 3
         inner = (args.matrix_inner_steps if mxu_bound
-                 else max(2, args.matrix_inner_steps // 4))
+                 else max(args.matrix_inner_steps, 50))
         rate, loss, _ = measure(model, B, max(steps, inner),
                                 inner_steps=inner)
         sustained = flops * rate
@@ -378,6 +387,9 @@ def main():
     p.add_argument("--precision", default=None,
                    help="override conditional matmul precision "
                         "('default'|'highest') for all configs")
+    p.add_argument("--only", default=None,
+                   help="regex over matrix row names; skips the headline "
+                        "+ serving sections and runs only matching rows")
     args = p.parse_args()
 
     import jax
@@ -386,6 +398,11 @@ def main():
     _set_numerics(args)
     X, Y, real = _regression_data()
     platform = jax.devices()[0].platform
+
+    if args.only:
+        print(json.dumps({"platform": platform,
+                          "matrix": run_matrix(args, X, Y)}))
+        return
 
     model = build_regression(X, Y, args.layers, 100, args.num_samples)
     # flops from the pytree BEFORE measure() donates its buffers
