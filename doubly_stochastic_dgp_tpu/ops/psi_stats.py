@@ -57,6 +57,18 @@ def _blocked_data_sum(block_fn, mu, S, out_shape):
     return out
 
 
+def _sep_quad(mu, inv, Z):
+    """The psi1-style Gaussian quadratic -0.5 sum_d (mu_nd - z_md)^2
+    inv_nd, rank-separated as mu^2 - 2 mu z + z^2 so the d-contraction
+    is two (B,D)@(D,M) matmuls instead of a (B, M, D) elementwise
+    reduce.  Mathematically <= 0; clamped so f32 expansion-cancellation
+    noise (near mu == z) can't push exp past 1."""
+    t_mu2 = jnp.sum(mu ** 2 * inv, axis=-1)                     # (B,)
+    return jnp.minimum(
+        -0.5 * (t_mu2[:, None] - 2.0 * (mu * inv) @ Z.T
+                + inv @ (Z ** 2).T), 0.0)                       # (B, M)
+
+
 def _rbf_cross_psi2(ka: RBF, kb: RBF, mu, S, Z):
     """Cross second moment sum_n E[ k_a(x_n, z_m) k_b(x_n, z_m') ]
     for two (ARD) RBF kernels, x_n ~ N(mu_n, diag(S_n)).  Returns (M, M).
@@ -148,12 +160,16 @@ def _rbf_lin_cross_psi2(kr: RBF, kl: Linear, mu, S, Z):
     def block_sum(mu_b, S_b, w_b):
         denom = a + S_b                                         # (B, D)
         logdet = -0.5 * jnp.sum(jnp.log1p(S_b / a), axis=-1)    # (B,)
-        d1 = mu_b[:, None, :] - Z[None, :, :]                   # (B, M, D)
-        quad = -0.5 * jnp.sum(d1 ** 2 / denom[:, None, :], axis=-1)
-        psi1 = var * jnp.exp(logdet[:, None] + quad)            # (B, M)
-        xbar = ((a * mu_b)[:, None, :] + S_b[:, None, :] * Z[None, :, :]
-                ) / denom[:, None, :]                           # (B, M, D)
-        U = jnp.einsum("nm,nmd->md", psi1 * w_b[:, None], xbar)
+        inv = 1.0 / denom                                       # (B, D)
+        psi1 = var * jnp.exp(
+            logdet[:, None] + _sep_quad(mu_b, inv, Z))          # (B, M)
+        # The reweighted mean separates in (n, m):
+        #   xbar[n,m,d] = (a_d mu_nd + S_nd z_md) / denom_nd
+        #               = (a mu inv)[n,d] + (S inv)[n,d] * z[m,d]
+        # so U[m,d] = sum_n psi1[n,m] xbar[n,m,d] collapses to two
+        # (M,B)@(B,D) matmuls — no (B, M, D) intermediate.
+        P = psi1 * w_b[:, None]                                 # (B, M)
+        U = P.T @ (a * mu_b * inv) + Z * (P.T @ (S_b * inv))    # (M, D)
         return (U * v) @ Z.T                                    # (M, M)
 
     M = Z.shape[0]
@@ -181,12 +197,11 @@ def _rbf_psi(kern: RBF, mu, S, Z):
 
     psi0 = jnp.full((N,), 1.0, dtype=mu.dtype) * var
 
-    # psi1: prod_d (1 + S/ls2)^(-1/2) exp(-0.5 (mu - z)^2 / (ls2 + S))
-    denom1 = ls2 + S                                            # (N, D)
+    # psi1: prod_d (1 + S/ls2)^(-1/2) exp(-0.5 (mu - z)^2 / (ls2 + S)),
+    # quadratic rank-separated (two matmuls; no (N, M, D) intermediate)
     logdet1 = -0.5 * jnp.sum(jnp.log1p(S / ls2), axis=-1)       # (N,)
-    d1 = mu[:, None, :] - Z[None, :, :]                         # (N, M, D)
-    quad1 = -0.5 * jnp.sum(d1 ** 2 / denom1[:, None, :], axis=-1)
-    psi1 = var * jnp.exp(logdet1[:, None] + quad1)              # (N, M)
+    psi1 = var * jnp.exp(
+        logdet1[:, None] + _sep_quad(mu, 1.0 / (ls2 + S), Z))   # (N, M)
 
     # psi2 is the a == b case of the cross second moment
     psi2 = _rbf_cross_psi2(kern, kern, mu, S, Z)
