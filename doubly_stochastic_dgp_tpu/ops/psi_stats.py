@@ -57,12 +57,24 @@ def _blocked_data_sum(block_fn, mu, S, out_shape):
     return out
 
 
+def _z_center(Z):
+    """Common per-dimension shift for the rank-separated quadratics.
+
+    They are exactly invariant under mu -> mu - c, Z -> Z - c, but the
+    mu^2 - 2 mu z + z^2 expansion's f32 cancellation error grows with
+    the squared magnitude of the coordinates — centering on the
+    inducing-point cloud anchors the expansion where psi mass lives.
+    stop_gradient is exact: d(out)/dc == 0 analytically."""
+    return jax.lax.stop_gradient(jnp.mean(Z, axis=0))
+
+
 def _sep_quad(mu, inv, Z):
     """The psi1-style Gaussian quadratic -0.5 sum_d (mu_nd - z_md)^2
     inv_nd, rank-separated as mu^2 - 2 mu z + z^2 so the d-contraction
     is two (B,D)@(D,M) matmuls instead of a (B, M, D) elementwise
     reduce.  Mathematically <= 0; clamped so f32 expansion-cancellation
-    noise (near mu == z) can't push exp past 1."""
+    noise (near mu == z) can't push exp past 1.  Callers pass mu and Z
+    already centered by a common shift (_z_center)."""
     t_mu2 = jnp.sum(mu ** 2 * inv, axis=-1)                     # (B,)
     return jnp.minimum(
         -0.5 * (t_mu2[:, None] - 2.0 * (mu * inv) @ Z.T
@@ -96,6 +108,10 @@ def _rbf_cross_psi2(ka: RBF, kb: RBF, mu, S, Z):
     # c_abd = beta_d z_ad + alpha_d z_bd  (beta = b/(a+b), alpha = a/(a+b))
     alpha = a / (a + b)                                         # (D,)
     beta = b / (a + b)                                          # (D,)
+    # center the expansion (exact shift invariance; see _z_center)
+    c = _z_center(Z)
+    Z = Z - c
+    mu = mu - c
 
     def block_sum(mu_b, S_b, w_b):
         """Sum over the rows of one (block, D) slab; w_b masks padding.
@@ -156,13 +172,16 @@ def _rbf_lin_cross_psi2(kr: RBF, kl: Linear, mu, S, Z):
     var = kr.variance.value
     a = kr.lengthscales.value ** 2 + jnp.zeros_like(mu[0])      # (D,)
     v = kl.variance.value + jnp.zeros_like(mu[0])               # (D,)
+    c = _z_center(Z)
+    Zc = Z - c      # the RBF quadratic is centered; the Linear factor
+                    # needs absolute coordinates and stays uncentered
 
     def block_sum(mu_b, S_b, w_b):
         denom = a + S_b                                         # (B, D)
         logdet = -0.5 * jnp.sum(jnp.log1p(S_b / a), axis=-1)    # (B,)
         inv = 1.0 / denom                                       # (B, D)
         psi1 = var * jnp.exp(
-            logdet[:, None] + _sep_quad(mu_b, inv, Z))          # (B, M)
+            logdet[:, None] + _sep_quad(mu_b - c, inv, Zc))     # (B, M)
         # The reweighted mean separates in (n, m):
         #   xbar[n,m,d] = (a_d mu_nd + S_nd z_md) / denom_nd
         #               = (a mu inv)[n,d] + (S inv)[n,d] * z[m,d]
@@ -200,8 +219,10 @@ def _rbf_psi(kern: RBF, mu, S, Z):
     # psi1: prod_d (1 + S/ls2)^(-1/2) exp(-0.5 (mu - z)^2 / (ls2 + S)),
     # quadratic rank-separated (two matmuls; no (N, M, D) intermediate)
     logdet1 = -0.5 * jnp.sum(jnp.log1p(S / ls2), axis=-1)       # (N,)
+    c = _z_center(Z)
     psi1 = var * jnp.exp(
-        logdet1[:, None] + _sep_quad(mu, 1.0 / (ls2 + S), Z))   # (N, M)
+        logdet1[:, None]
+        + _sep_quad(mu - c, 1.0 / (ls2 + S), Z - c))            # (N, M)
 
     # psi2 is the a == b case of the cross second moment
     psi2 = _rbf_cross_psi2(kern, kern, mu, S, Z)

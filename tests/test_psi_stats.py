@@ -146,6 +146,37 @@ def test_psi2_blocked_equals_unblocked():
     np.testing.assert_allclose(np.asarray(p1a), np.asarray(p1b))
 
 
+def test_rank_separated_psi1_clamped_at_f32_cancellation():
+    """The rank-separated psi1 quadratic (mu^2 - 2 mu z + z^2 form) is
+    exact math <= 0; in float32 with mu == z at large coordinates the
+    expansion cancels catastrophically and could go positive without
+    the clamp, pushing psi1 above its analytic ceiling
+    var * prod(1 + S/ls2)^(-1/2).  Pin psi1 <= ceiling (1 ulp slack)."""
+    import jax
+
+    with jax.enable_x64(False):
+        N, D = 4, 3
+        big = np.float32(3000.0)
+        mu = np.full((N, D), big, dtype=np.float32)
+        mu += np.arange(N, dtype=np.float32)[:, None] * 0.25
+        Z = mu.copy()                       # z_m == mu_n rows exactly
+        S = np.full((N, D), 1e-4, dtype=np.float32)
+        ls = np.array([0.3, 0.7, 1.3], dtype=np.float32)
+        var = 1.9
+        k = RBF.make(D, variance=var, lengthscales=ls)
+        psi0, psi1, psi2 = psi_statistics(
+            k, jnp.asarray(mu, jnp.float32), jnp.asarray(S, jnp.float32),
+            jnp.asarray(Z, jnp.float32))
+        assert psi1.dtype == jnp.float32
+        ceiling = var * np.prod(
+            (1.0 + S / ls.astype(np.float64) ** 2) ** -0.5, axis=-1)
+        assert np.all(np.asarray(psi1) <= ceiling[:, None] * (1 + 1e-6))
+        # the diagonal (mu_n == z_n) actually sits AT the ceiling
+        assert_allclose(np.asarray(psi1).diagonal(),
+                        ceiling[: min(N, Z.shape[0])], rtol=1e-5)
+        assert np.all(np.isfinite(np.asarray(psi2)))
+
+
 def test_linear_psi_vs_quadrature():
     """Linear-kernel psi statistics vs the brute-force GH oracle."""
     from doubly_stochastic_dgp_tpu.ops.kernels import Linear
