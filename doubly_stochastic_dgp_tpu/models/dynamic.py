@@ -69,6 +69,8 @@ class DynamicPredictor:
     def update(self, model):
         """Swap in refreshed parameters (same pytree structure — no
         retrace; a different structure simply compiles fresh entries)."""
+        from ..utils.modules import assert_live
+        assert_live(model)
         self.model = model
         return self
 

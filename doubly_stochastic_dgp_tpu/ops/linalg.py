@@ -72,16 +72,33 @@ def _chol_pullback(L, gL):
     return 0.5 * (gA + jnp.swapaxes(gA, -1, -2))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _cholesky_escalate(K, jitter):
-    return _cholesky_escalate_fwd(K, jitter)[0]
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _cholesky_rungs(K, jitters, relative):
+    """Shared rung-escalation Cholesky behind both public entry points.
+
+    ONE live factorization at the first rung; every later rung sits
+    behind a ``lax.cond`` that fires only when the first factor is
+    non-finite, with per-batch-element rung selection inside the
+    branch.  ``relative=True`` scales the rung jitters by the mean
+    diagonal of K (the ladder's garbage-scales-with-the-matrix policy);
+    ``relative=False`` uses them as absolute jitters.  A first rung of
+    exactly 0.0 is a no-add so the healthy path is bitwise
+    ``jnp.linalg.cholesky(K)``.  The backward pass is the closed-form
+    Cholesky pullback on the *selected* factor — no NaN factor ever
+    sits on the autodiff path (see the callers' docstrings)."""
+    return _cholesky_rungs_fwd(K, jitters, relative)[0]
 
 
-def _cholesky_escalate_fwd(K, jitter):
+def _cholesky_rungs_fwd(K, jitters, relative):
     M = K.shape[-1]
     I = jnp.eye(M, dtype=K.dtype)
-    j0 = jnp.asarray(jitter, dtype=K.dtype)
-    L0 = jnp.linalg.cholesky(K + j0 * I)
+    if relative:
+        scale = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1),
+                         axis=-1)[..., None, None]              # (..., 1, 1)
+    else:
+        scale = jnp.ones((), dtype=K.dtype)
+    K0 = K if jitters[0] == 0.0 else K + (jitters[0] * scale) * I
+    L0 = jnp.linalg.cholesky(K0)
     all_ok = jnp.logical_not(jnp.any(jnp.isnan(L0)))
 
     def no_escalation(_):
@@ -91,19 +108,22 @@ def _cholesky_escalate_fwd(K, jitter):
         def ok(L):
             return jnp.logical_not(
                 jnp.any(jnp.isnan(L), axis=(-2, -1)))[..., None, None]
-        L1 = jnp.linalg.cholesky(K + (j0 * 1e2) * I)
-        L2 = jnp.linalg.cholesky(K + (j0 * 1e4) * I)
-        return jnp.where(ok(L0), L0, jnp.where(ok(L1), L1, L2))
+        Ls = [L0] + [jnp.linalg.cholesky(K + (j * scale) * I)
+                     for j in jitters[1:]]
+        sel = Ls[-1]
+        for L_ in reversed(Ls[:-1]):
+            sel = jnp.where(ok(L_), L_, sel)
+        return sel
 
     L = jax.lax.cond(all_ok, no_escalation, escalate, None)
     return L, L
 
 
-def _cholesky_escalate_bwd(jitter, L, gL):
+def _cholesky_rungs_bwd(jitters, relative, L, gL):
     return (_chol_pullback(L, gL),)
 
 
-_cholesky_escalate.defvjp(_cholesky_escalate_fwd, _cholesky_escalate_bwd)
+_cholesky_rungs.defvjp(_cholesky_rungs_fwd, _cholesky_rungs_bwd)
 
 
 def safe_cholesky(K, jitter=None):
@@ -130,8 +150,8 @@ def safe_cholesky(K, jitter=None):
     autodiff path, so the where-NaN trap the old probe design defended
     against cannot occur by construction.  Batched over leading dims.
     """
-    jitter = default_jitter() if jitter is None else jitter
-    return _cholesky_escalate(K, float(jitter))
+    j0 = float(default_jitter() if jitter is None else jitter)
+    return _cholesky_rungs(K, (j0, 1e2 * j0, 1e4 * j0), False)
 
 
 def safe_cholesky_ladder(K, jitters=(0.0, 1e-7, 1e-5, 1e-3, 1e-1, 1.0)):
@@ -161,47 +181,7 @@ def safe_cholesky_ladder(K, jitters=(0.0, 1e-7, 1e-5, 1e-3, 1e-1, 1.0)):
     ladder sits behind a ``lax.cond`` that fires only on a non-finite
     factor; grad-safety comes from the shared ``custom_vjp`` Cholesky
     pullback on the selected factor rather than stop-gradient probes."""
-    return _cholesky_ladder(K, tuple(float(j) for j in jitters))
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _cholesky_ladder(K, jitters):
-    return _cholesky_ladder_fwd(K, jitters)[0]
-
-
-def _cholesky_ladder_fwd(K, jitters):
-    M = K.shape[-1]
-    I = jnp.eye(M, dtype=K.dtype)
-    scale = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1),
-                     axis=-1)[..., None, None]                  # (..., 1, 1)
-    # first rung 0.0 -> bitwise jnp.linalg.cholesky(K) when it succeeds
-    K0 = K if jitters[0] == 0.0 else K + (jitters[0] * scale) * I
-    L0 = jnp.linalg.cholesky(K0)
-    all_ok = jnp.logical_not(jnp.any(jnp.isnan(L0)))
-
-    def no_escalation(_):
-        return L0
-
-    def escalate(_):
-        def ok(L):
-            return jnp.logical_not(
-                jnp.any(jnp.isnan(L), axis=(-2, -1)))[..., None, None]
-        Ls = [L0] + [jnp.linalg.cholesky(K + (j * scale) * I)
-                     for j in jitters[1:]]
-        sel = Ls[-1]
-        for L_ in reversed(Ls[:-1]):
-            sel = jnp.where(ok(L_), L_, sel)
-        return sel
-
-    L = jax.lax.cond(all_ok, no_escalation, escalate, None)
-    return L, L
-
-
-def _cholesky_ladder_bwd(jitters, L, gL):
-    return (_chol_pullback(L, gL),)
-
-
-_cholesky_ladder.defvjp(_cholesky_ladder_fwd, _cholesky_ladder_bwd)
+    return _cholesky_rungs(K, tuple(float(j) for j in jitters), True)
 
 
 def inv_lower(L):

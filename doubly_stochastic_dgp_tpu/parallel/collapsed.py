@@ -187,24 +187,18 @@ def dp_damianou_elbo(model, mesh: Mesh, axis: str = "data"):
 def collapsed_specs(model, axis: str = "data"):
     """PartitionSpec pytree for a generic ``DGPCollapsed``: the stored
     training rows shard over ``axis``; every parameter (inner SVGP
-    layers, collapsed final layer, likelihood) stays replicated."""
+    layers, collapsed final layer, likelihood) stays replicated.
 
-    def spec_for(path, leaf):
-        names = _path_names(path)
-        if (("X_data" in names or "Y_data" in names)
-                and jnp.ndim(leaf) >= 1):
-            return P(axis, *([None] * (jnp.ndim(leaf) - 1)))
-        return P()
-
-    return jax.tree_util.tree_map_with_path(spec_for, model)
+    Same row-leaf convention as :func:`damianou_specs` (a generic
+    DGPCollapsed simply has no ``h_mean``/``h_var`` leaves), so this is
+    the same function — kept as a named alias for the public API.
+    """
+    return damianou_specs(model, axis)
 
 
 def collapsed_shard(model, mesh: Mesh, axis: str = "data"):
     """Place a generic DGPCollapsed: rows sharded, parameters replicated."""
-    specs = collapsed_specs(model, axis)
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        model, specs)
+    return damianou_shard(model, mesh, axis)
 
 
 def dp_collapsed_elbo(model, mesh: Mesh, key=None, axis: str = "data",
@@ -236,7 +230,18 @@ def dp_collapsed_elbo(model, mesh: Mesh, key=None, axis: str = "data",
     folded per device.
     """
     from ..models.layers import GPRLayer, SGPRLayer
+    from ..models.zoo import DGPHeinonen
 
+    if isinstance(model, DGPHeinonen):
+        # Heinonen's "inner propagation" is its whitened GPMC latents,
+        # which are full-N and REPLICATED (not row-sharded) — feeding
+        # them through the row-sharded stages below would all_gather
+        # n_dev copies against N targets. Its bound is dense-N x N
+        # exact-GPR algebra with no moment decomposition to shard.
+        raise NotImplementedError(
+            "dp_collapsed_elbo does not support DGPHeinonen: its GPMC "
+            "latents are replicated, not row-sharded; compute its "
+            "log_posterior on one device (the bound is dense N x N).")
     n_dev = mesh.shape[axis]
     N = int(model.X_data.shape[0])
     assert N % n_dev == 0, (

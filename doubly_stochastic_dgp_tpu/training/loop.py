@@ -298,9 +298,14 @@ def evaluate_regression(model, Xs, Ys, Y_std, S: int = 100,
     # higher = better); round 1 copied the misleading name and returned
     # the two fields swapped, silently sign-flipping every reported
     # loglik.
+    # mixture divisor = the ACTUAL number of sample components kept.
+    # Deterministic models (GPR/SGPR/GPRFITC/CachedSingleLayerGP) return
+    # squeezed (N, D) moments that become ONE pseudo-sample above;
+    # dividing by the requested S would bias their loglik by -log(S).
+    S_kept = mean_SND.shape[0]
     test_loglik_ND = logsumexp(
         norm.logpdf(Ys * Y_std, mean_SND * Y_std, var_SND ** 0.5 * Y_std),
-        0, b=1 / float(S))
+        0, b=1 / float(S_kept))
     test_loglik = np.average(test_loglik_ND)
     return {"rmse": float(test_err), "nll": float(-test_loglik),
             "loglik": float(test_loglik)}

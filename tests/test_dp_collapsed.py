@@ -190,3 +190,27 @@ def test_dp_collapsed_training_improves():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.all(np.isfinite(losses))
+
+
+def test_dp_collapsed_rejects_heinonen():
+    """DGPHeinonen's GPMC latents are full-N and replicated — feeding
+    them through the row-sharded stages would all_gather n_dev copies
+    against N targets and die with an opaque shape error; the entry
+    point must reject it up front (code-review round-3 finding)."""
+    import pytest
+
+    from doubly_stochastic_dgp_tpu import (DGPHeinonen, Gaussian,
+                                           Identity, Zero)
+    from doubly_stochastic_dgp_tpu.models.layers import (GPMCLayer,
+                                                         GPRLayer)
+    from doubly_stochastic_dgp_tpu.parallel.collapsed import \
+        dp_collapsed_elbo
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(16, 2)
+    Y = np.sin(X[:, :1])
+    layer0 = GPMCLayer.make(dsd.RBF.make(2), X.copy(), 2, Identity())
+    layer1 = GPRLayer.make(dsd.RBF.make(2), Zero(output_dim=1), 1)
+    m = DGPHeinonen.make(X, Y, Gaussian.make(0.05), [layer0, layer1])
+    with pytest.raises(NotImplementedError, match="Heinonen"):
+        dp_collapsed_elbo(m, make_mesh())

@@ -98,3 +98,8 @@ def test_rejects_bad_buckets_and_donated_models():
     m.layers[0].q_mu.unconstrained.delete()
     with pytest.raises(RuntimeError, match="donated"):
         DynamicPredictor(m)
+    # update() guards too (code-review round-3 finding: it used to
+    # accept the consumed pytree silently and die at the next dispatch)
+    m2, _, _ = _model()
+    with pytest.raises(RuntimeError, match="donated"):
+        DynamicPredictor(m2).update(m)

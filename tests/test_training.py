@@ -502,3 +502,32 @@ def test_donated_model_reuse_fails_with_actionable_error():
         with pytest.raises(RuntimeError,
                            match="donated .*Use the NEW model"):
             call()
+
+
+class _EchoDeterministic(Module):
+    """predict_y returns squeezed (N, D) moments — the deterministic
+    single-layer models' shape (GPR/SGPR/GPRFITC/CachedSingleLayerGP),
+    which evaluate_regression lifts to ONE pseudo-sample."""
+    noise: float = None
+
+    def predict_y(self, x, S=None, key=None):
+        return x, jnp.full_like(x, self.noise)
+
+
+def test_evaluate_regression_deterministic_no_logS_bias():
+    """Code-review round-3 finding: the mixture divisor must be the
+    number of sample components actually kept, not the requested S —
+    a deterministic model contributes one component, and dividing by
+    S=100 silently biased its loglik by -log(100) = -4.6 nats."""
+    rng = np.random.RandomState(0)
+    Y = rng.randn(50, 1)
+    det = evaluate_regression(_EchoDeterministic(noise=0.01), Y, Y,
+                              Y_std=np.array([1.0]), S=100,
+                              batch_size=25)
+    # a stochastic predictor with S identical components is the same
+    # mixture; the two must agree exactly
+    sto = evaluate_regression(_EchoPredictor(noise=0.01), Y, Y,
+                              Y_std=np.array([1.0]), S=100,
+                              batch_size=25)
+    np.testing.assert_allclose(det["loglik"], sto["loglik"], rtol=1e-10)
+    assert det["loglik"] > 1.0, det
