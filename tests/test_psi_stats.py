@@ -296,3 +296,62 @@ def test_random_sum_compositions_vs_quadrature():
                         err_msg=f"trial {trial}")
         assert_allclose(np.asarray(psi2), np.asarray(psi2).T,
                         rtol=1e-12)
+
+
+def test_psi_statistics_grads_match_finite_differences():
+    """FD pin for the round-3 rank-separated + centered forms: the
+    stop-gradient on the inducing-cloud center is analytically exact
+    ONLY because the expansion is shift invariant — a broken centering
+    would leak into every gradient.  Differentiates the full
+    Sum(RBF + Linear) path (all psi2 cross terms) wrt mu, S, Z and the
+    kernel parameters against central finite differences (float64)."""
+    import jax
+    from jax.flatten_util import ravel_pytree
+
+    from doubly_stochastic_dgp_tpu.ops.kernels import Linear
+
+    rng = np.random.RandomState(11)
+    N, D, M = 3, 2, 4
+    mu = jnp.asarray(rng.randn(N, D) * 2.0)
+    S = jnp.asarray(0.05 + rng.rand(N, D) * 0.4)
+    Z = jnp.asarray(rng.randn(M, D))
+    kern = (RBF.make(D, variance=1.4,
+                     lengthscales=rng.rand(D) + 0.5)
+            + Linear.make(D, variance=0.7))
+    W2 = jnp.asarray(rng.randn(M, M))
+    W1 = jnp.asarray(rng.randn(N, M))
+    flat, unravel = ravel_pytree((kern, mu, S, Z))
+
+    def f(v):
+        k, m_, s_, z_ = unravel(v)
+        p0, p1, p2 = psi_statistics(k, m_, s_, z_)
+        return jnp.sum(p0) + jnp.sum(W1 * p1) + jnp.sum(W2 * p2)
+
+    g = np.asarray(jax.grad(f)(flat))
+    eps = 1e-6
+    for i in range(flat.size):
+        e = jnp.zeros_like(flat).at[i].set(eps)
+        fd = float((f(flat + e) - f(flat - e)) / (2 * eps))
+        assert abs(g[i] - fd) <= 1e-5 * max(1.0, abs(fd)), (i, g[i], fd)
+
+
+def test_psi_statistics_shift_invariance_rbf():
+    """The centered expansions' design invariant (round-3): translating
+    mu and Z together leaves every RBF psi statistic unchanged.  The
+    center (stop-gradient mean(Z)) tracks the translation, so the
+    separated quadratics see identical relative coordinates up to
+    rounding of the shift itself."""
+    rng = np.random.RandomState(5)
+    N, D, M = 4, 3, 5
+    mu = rng.randn(N, D)
+    S = 0.05 + rng.rand(N, D) * 0.3
+    Z = rng.randn(M, D)
+    k = RBF.make(D, variance=1.6, lengthscales=rng.rand(D) + 0.4)
+    base = psi_statistics(k, jnp.asarray(mu), jnp.asarray(S),
+                          jnp.asarray(Z))
+    c = np.full((1, D), 4096.0)            # exact in binary -> bitwise adds
+    shifted = psi_statistics(k, jnp.asarray(mu + c), jnp.asarray(S),
+                             jnp.asarray(Z + c))
+    for a, b in zip(base, shifted):
+        assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-9,
+                        atol=1e-12)
