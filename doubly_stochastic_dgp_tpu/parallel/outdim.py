@@ -20,10 +20,14 @@ layer's (S, N, K) moments before the variational expectation (K is
 tiny; the gather rides ICI), with the targets replicated over the dim
 axis instead of column-sharded.
 
-Restrictions (asserted): homogeneous SVGP layers without input
-propagation, Zero/Identity/Linear/Constant mean functions, and every
-layer's D_out (and D_Y, when the likelihood factorizes) divisible by
-the axis size.
+Input-propagation stacks work too: the propagated raw input columns
+are replicated, so each layer's hidden D_out shards and the gathered
+samples get the raw columns re-prepended before the next layer.
+
+Restrictions (asserted): homogeneous SVGP layers,
+Zero/Identity/Linear/Constant mean functions, and every layer's hidden
+D_out (and D_Y, when the likelihood factorizes) divisible by the axis
+size.
 """
 
 from __future__ import annotations
@@ -75,6 +79,18 @@ def _factorizes(likelihood) -> bool:
     return bool(getattr(likelihood, "factorizes_over_dims", True))
 
 
+def _gather_next_input(F, F_local, layer, axis):
+    """All-gather the locally sampled dims into the next layer's input.
+    Layers carrying ``input_prop_dim`` re-prepend the propagated raw
+    input columns (replicated — they are F's leading dims, exactly as
+    ``Layer.sample`` concatenates them on one device)."""
+    nxt = jax.lax.all_gather(F_local, axis, axis=2, tiled=True)
+    p = getattr(layer, "input_prop_dim", None)
+    if p:
+        nxt = jnp.concatenate([F[:, :, :p], nxt], axis=2)
+    return nxt
+
+
 def outdim_specs(model, axis: str = "dim"):
     """PartitionSpec pytree for ``model``: q_mu/q_sqrt/Linear-mean
     leaves sharded over ``axis`` on their D_out dimension, Y_data
@@ -116,8 +132,6 @@ def _localize(model, n_dev: int, axis: str):
     num_outputs and mean function describe the local dims."""
     layers = []
     for layer in model.layers:
-        assert getattr(layer, "input_prop_dim", None) in (None, 0), \
-            "output-dim sharding does not support input propagation"
         D = layer.num_outputs_
         assert D % n_dev == 0, (
             f"layer D_out={D} not divisible by mesh axis size {n_dev}")
@@ -172,8 +186,7 @@ def outdim_elbo(model, X, Y, key, mesh: Mesh, axis: str = "dim",
                                      jitter=layer.jitter)
             if li < len(m.layers) - 1:
                 # next layer consumes every dim: gather over ICI
-                F = jax.lax.all_gather(F_local, axis, axis=2,
-                                       tiled=True)
+                F = _gather_next_input(F, F_local, layer, axis)
         KL_local = sum((l.KL() for l in m.layers),
                        jnp.zeros((), dtype=mean.dtype))
         scale = jnp.asarray(m.num_data, dtype=mean.dtype) / B
@@ -234,8 +247,7 @@ def elbo_2d(model, X, Y, key, mesh: Mesh, data_axis: str = "data",
                     dtype=mean.dtype)
             F_local = reparameterize(mean, var, z, jitter=layer.jitter)
             if li < len(m.layers) - 1:
-                F = jax.lax.all_gather(F_local, dim_axis, axis=2,
-                                       tiled=True)
+                F = _gather_next_input(F, F_local, layer, dim_axis)
         if fact:
             ve = m.likelihood.variational_expectations(mean, var, Y_l)
             # likelihood terms: partial over BOTH rows and dims
@@ -341,8 +353,7 @@ def elbo_3d(model, X, Y, key, mesh: Mesh, data_axis: str = "data",
                     dtype=mean.dtype)
             F_local = reparameterize(mean, var, z, jitter=layer.jitter)
             if li < len(m.layers) - 1:
-                F = jax.lax.all_gather(F_local, dim_axis, axis=2,
-                                       tiled=True)
+                F = _gather_next_input(F, F_local, layer, dim_axis)
         if not fact:
             # gather the final (S_l, n_local, K) moments over the dim
             # axis before the (dim-coupled) variational expectation

@@ -283,3 +283,43 @@ def test_3d_mesh_multiclass_elbo_matches_single_device():
     ref = float(_single_device_elbo(m, zs))
     got = float(elbo_3d(m, m.X_data, m.Y_data, None, mesh, zs=zs))
     assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_outdim_input_prop_elbo_and_grads_match_single_device():
+    """Input-propagation stacks under dim sharding (round-3): the
+    propagated raw input columns are replicated, each layer's hidden
+    D_out shards, and the gathered samples get the raw columns
+    re-prepended — must equal the single-device bound and gradients
+    exactly with fixed zs."""
+    from doubly_stochastic_dgp_tpu import Gaussian as G
+    from doubly_stochastic_dgp_tpu import init_layers_input_prop
+    from doubly_stochastic_dgp_tpu.models.dgp import DGPBase
+
+    np.random.seed(4)
+    N, D, M, S, D_Y = 10, 2, 5, 2, 2
+    X = np.random.randn(N, D)
+    Y = np.random.randn(N, D_Y)
+    Z = np.random.randn(M, D)
+    # hidden width 2 (divisible by the 2-device mesh): layer widths
+    # D -> (2 hidden + D prop) -> D_Y
+    kerns = [RBF.make(D), RBF.make(D + 2)]
+    layers = init_layers_input_prop(X, Y, Z, kerns, num_outputs=D_Y)
+    m = DGPBase.make(X, Y, G.make(0.1), layers, num_samples=S)
+
+    mesh = make_mesh(num_devices=2, axis="dim")
+    rng = np.random.RandomState(7)
+    zs = [jnp.asarray(rng.randn(S, 1, l.num_outputs)) for l in m.layers]
+
+    ref = float(_single_device_elbo(m, zs))
+    got = float(outdim_elbo(m, m.X_data, m.Y_data, None, mesh,
+                            axis="dim", zs=zs))
+    assert_allclose(got, ref, rtol=1e-12)
+
+    g1 = jax.grad(lambda mm: -_single_device_elbo(mm, zs))(m)
+    g2 = jax.grad(lambda mm: -outdim_elbo(mm, mm.X_data, mm.Y_data,
+                                          None, mesh, axis="dim",
+                                          zs=zs))(m)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-9,
+                        atol=1e-11)
