@@ -14,7 +14,8 @@ i.i.d. samples; an S above the largest bucket runs ceil(S / B_max)
 chunks of the same compiled program under decorrelated keys and
 concatenates.  Buckets are serviced by at most ``len(buckets)``
 compiles forever — the default (1, 8, 32, 128) covers the reference
-harness's S in {1, 5, 25, 100} sweeps with <= 1.3x sample overwork.
+harness's S in {1, 5, 25, 100} sweeps with 1.28x sample overwork at
+S=25/100 (1.6x at the cheap S=5 point, exact at S=1).
 
 Semantics: the MC samples are i.i.d., so keeping the first S of B is
 *distributionally* identical to an S-sample call, but not bitwise equal

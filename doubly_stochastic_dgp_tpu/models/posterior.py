@@ -245,6 +245,19 @@ def _cache_gpr(layer):
     )
 
 
+def _titsias_factors(obj):
+    """Extract the shared staged factors (Li = L^{-1}, alpha = LB^{-T} c,
+    LBiT = LB^{-T}) from anything exposing the Titsias ``_common()``
+    dict — the collapsed SGPR layer and the FITC model use the identical
+    tmp1/tmp2 pipeline, so the cached contract is one code path."""
+    with jax.default_matmul_precision("highest"):
+        cm = obj._common()
+        Li = inv_lower(cm["L"])
+        LBiT = inv_lower(cm["LB"]).T
+        alpha = LBiT @ cm["c"]
+    return Li, alpha, LBiT
+
+
 def _cache_sgpr(layer, extra_var=None):
     """Collapsed SGPR/Titsias layer (with data set) -> cached staged
     form.  From cm = _common() (models/layers.py:676-718):
@@ -260,11 +273,7 @@ def _cache_sgpr(layer, extra_var=None):
     ``extra_var`` carries a DGPDamianou inner layer's generative noise
     sigma_l^2 (models/damianou.py::DGPDamianou.propagate adds it to the
     sampled conditional)."""
-    with jax.default_matmul_precision("highest"):
-        cm = layer._common()
-        Li = inv_lower(cm["L"])
-        LBiT = inv_lower(cm["LB"]).T
-        alpha = LBiT @ cm["c"]
+    Li, alpha, LBiT = _titsias_factors(layer)
     return CachedSVGPLayer(
         kern=_freeze_params(layer.kern),
         Z=jnp.asarray(layer.Z.value, dtype=default_float()),
@@ -341,11 +350,7 @@ def _cache_fitc(model):
     """GPRFITC -> cached staged form.  predict_f (single_layer.py) is
     the same tmp1/tmp2 pipeline as SGPR's conditional, so the identical
     factors apply: Li = L^{-1}, alpha = LB^{-T} c, C = LB^{-T}."""
-    with jax.default_matmul_precision("highest"):
-        cm = model._common()
-        Li = inv_lower(cm["L"])
-        LBiT = inv_lower(cm["LB"]).T
-        alpha = LBiT @ cm["c"]
+    Li, alpha, LBiT = _titsias_factors(model)
     layer = CachedSVGPLayer(
         kern=_freeze_params(model.kern),
         Z=jnp.asarray(model.Z.value, dtype=default_float()),
@@ -425,5 +430,10 @@ def precompute(model, key=None, zs=None):
                        else last)
         layers = [_cache_any(l) for l in model.layers[:-1]] + [cached_last]
         return _prediction_model(model, layers)
+    # MC family: keep the model class (its y-space hooks — DGPQuad,
+    # DGPHeteroscedastic — must survive) but freeze the likelihood like
+    # every other branch, so no Param anywhere in the cached model is
+    # marked trainable.
     layers = [_cache_any(l) for l in model.layers]
-    return model.replace(layers=layers)
+    return model.replace(layers=layers,
+                         likelihood=_freeze_params(model.likelihood))

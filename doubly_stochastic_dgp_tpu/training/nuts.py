@@ -83,7 +83,8 @@ def _make_nuts_runner(logp_grad, dtype, num_samples, num_burn,
         P = z.shape[0]
         zeros_ck = jnp.zeros((max_depth + 1, P), dtype=dtype)
         init = (z, r, g, lp,
-                z, jnp.asarray(-jnp.inf, dtype),      # proposal, lw_sub
+                z, lp, g,                              # proposal (+ its
+                jnp.asarray(-jnp.inf, dtype),          # lp/grad), lw_sub
                 jnp.zeros_like(z),                     # cum momentum sum
                 zeros_ck, zeros_ck,                    # r_ckpt, psum_before
                 jnp.asarray(False), jnp.asarray(False),
@@ -92,8 +93,8 @@ def _make_nuts_runner(logp_grad, dtype, num_samples, num_burn,
                 key)
 
         def body(i, carry):
-            (z, r, g, lp, z_prop, lw_sub, cum, r_ck, ps_ck,
-             turning, diverging, sum_alpha, n_eval, key) = carry
+            (z, r, g, lp, z_prop, lp_prop, g_prop, lw_sub, cum, r_ck,
+             ps_ck, turning, diverging, sum_alpha, n_eval, key) = carry
 
             def live(_):
                 zn, rn, gn, lpn = leapfrog(z, r, g, eps)
@@ -120,29 +121,38 @@ def _make_nuts_runner(logp_grad, dtype, num_samples, num_burn,
                 take = (jnp.log(jax.random.uniform(ku, dtype=dtype))
                         < lw_leaf - lw_n)
                 z_prop_n = jnp.where(take, zn, z_prop)
-                return (zn, rn, gn, lpn, z_prop_n, lw_n, cum_n,
-                        r_ck_n, ps_ck_n, turning_n, diverging | bad,
-                        sum_alpha + alpha, n_eval + 1.0, key_n)
+                lp_prop_n = jnp.where(take, lpn, lp_prop)
+                g_prop_n = jnp.where(take, gn, g_prop)
+                return (zn, rn, gn, lpn, z_prop_n, lp_prop_n, g_prop_n,
+                        lw_n, cum_n, r_ck_n, ps_ck_n, turning_n,
+                        diverging | bad, sum_alpha + alpha,
+                        n_eval + 1.0, key_n)
 
             return jax.lax.cond(turning | diverging, lambda _: carry,
                                 live, None)
 
-        (z, r, g, lp, z_prop, lw_sub, cum, _, _, turning, diverging,
-         sum_alpha, n_eval, _) = jax.lax.fori_loop(0, n_leaf, body, init)
-        return ((z, r, g, lp), z_prop, lw_sub, cum, turning, diverging,
-                sum_alpha, n_eval)
+        (z, r, g, lp, z_prop, lp_prop, g_prop, lw_sub, cum, _, _,
+         turning, diverging, sum_alpha, n_eval, _) = \
+            jax.lax.fori_loop(0, n_leaf, body, init)
+        return ((z, r, g, lp), (z_prop, lp_prop, g_prop), lw_sub, cum,
+                turning, diverging, sum_alpha, n_eval)
 
-    def trajectory(q, key, eps):
-        """One NUTS transition; returns (q_new, mean_alpha, depth,
-        diverged)."""
+    def trajectory(q, lp0, g0, key, eps):
+        """One NUTS transition from (q, lp0 = logp(q), g0 = grad(q));
+        returns (q_new, lp_new, g_new, mean_alpha, depth, diverged).
+        Carrying (lp, grad) with the position saves re-evaluating the
+        model gradient at the start of every transition — the proposal
+        is always a leapfrog leaf whose (lp, grad) were already
+        computed (round-3 review finding: one wasted gradient eval per
+        transition, ~20% of all evals at the measured mean depth)."""
         kr, key = jax.random.split(key)
-        lp0, g0 = logp_grad(q)
         r0 = jax.random.normal(kr, q.shape, dtype=dtype)
         lw_ref = lp0 - 0.5 * jnp.dot(r0, r0)
 
         state = dict(
             left=(q, r0, g0, lp0), right=(q, r0, g0, lp0),
-            z_prop=q, lw_tot=jnp.zeros((), dtype), p_sum=r0,
+            z_prop=(q, lp0, g0),
+            lw_tot=jnp.zeros((), dtype), p_sum=r0,
             depth=jnp.zeros((), jnp.int32),
             turning=jnp.asarray(False), diverging=jnp.asarray(False),
             sum_alpha=jnp.zeros((), dtype),
@@ -167,7 +177,8 @@ def _make_nuts_runner(logp_grad, dtype, num_samples, num_burn,
             # biased progressive sampling across the doubling
             take = (jnp.log(jax.random.uniform(ka, dtype=dtype))
                     < lw_sub - s["lw_tot"]) & ok
-            z_prop = jnp.where(take, z_sub, s["z_prop"])
+            z_prop = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(take, n, o), z_sub, s["z_prop"])
             lw_tot = jnp.where(ok, jnp.logaddexp(s["lw_tot"], lw_sub),
                                s["lw_tot"])
             p_sum = jnp.where(ok, s["p_sum"] + p_sub, s["p_sum"])
@@ -192,22 +203,26 @@ def _make_nuts_runner(logp_grad, dtype, num_samples, num_burn,
 
         s = jax.lax.while_loop(cond, doubling, state)
         mean_alpha = s["sum_alpha"] / jnp.maximum(s["n_alpha"], 1.0)
-        return s["z_prop"], mean_alpha, s["depth"], s["diverging"]
+        q_n, lp_n, g_n = s["z_prop"]
+        return q_n, lp_n, g_n, mean_alpha, s["depth"], s["diverging"]
 
     def kernel(carry, inp):
         key, it = inp
-        q, log_eps, log_eps_bar, Hbar, n_div, sum_depth = carry
+        q, lp, g, log_eps, log_eps_bar, Hbar, n_div, sum_depth = carry
         in_burn = it < num_burn
         if adapt_step_size:
             eps = jnp.exp(jnp.where(in_burn, log_eps, log_eps_bar))
         else:
             eps = jnp.asarray(step_size, dtype=dtype)
-        q, alpha, depth, diverged = trajectory(q, key, eps)
+        q, lp, g, alpha, depth, diverged = trajectory(q, lp, g, key, eps)
         # Stan convention: only post-warmup divergences are diagnostic
         # (dual averaging intentionally explores unstable step sizes
         # early in burn-in, where divergences are expected and benign)
         n_div = n_div + (diverged & ~in_burn).astype(jnp.int32)
-        sum_depth = sum_depth + depth
+        # mean_tree_depth follows the same post-warmup convention
+        # (burn-in explores small step sizes whose deep trees would
+        # bias the diagnostic a user compares against Stan/numpyro)
+        sum_depth = sum_depth + jnp.where(in_burn, 0, depth)
 
         if adapt_step_size:
             m = (it + 1).astype(dtype)
@@ -219,14 +234,15 @@ def _make_nuts_runner(logp_grad, dtype, num_samples, num_burn,
             Hbar = jnp.where(in_burn, Hbar_n, Hbar)
             log_eps = jnp.where(in_burn, log_eps_n, log_eps)
             log_eps_bar = jnp.where(in_burn, log_eps_bar_n, log_eps_bar)
-        return (q, log_eps, log_eps_bar, Hbar, n_div, sum_depth), \
-            (q, alpha)
+        return (q, lp, g, log_eps, log_eps_bar, Hbar, n_div,
+                sum_depth), (q, alpha)
 
     total = num_burn + num_samples
     its = jnp.arange(total)
 
     def run(flat0, keys):
-        carry = (flat0,
+        lp0, g0 = logp_grad(flat0)      # once per chain, not per step
+        carry = (flat0, lp0, g0,
                  jnp.asarray(jnp.log(step_size), dtype=dtype),
                  jnp.asarray(jnp.log(step_size), dtype=dtype),
                  jnp.zeros((), dtype), jnp.zeros((), jnp.int32),
@@ -265,7 +281,7 @@ def nuts_sample(model, log_prob_fn: Callable, key,
         adapt_step_size, target_accept))
     total = num_burn + num_samples
     keys = jax.random.split(key, total)
-    (qf, log_eps, log_eps_bar, _, n_div, sum_depth), qs, alphas = \
+    (qf, _, _, log_eps, log_eps_bar, _, n_div, sum_depth), qs, alphas = \
         run(flat0, keys)
     samples = qs[num_burn:]
     accept_stat = float(jnp.mean(alphas[num_burn:]))
@@ -275,7 +291,7 @@ def nuts_sample(model, log_prob_fn: Callable, key,
         "accept_stat": accept_stat,
         "step_size": final_eps,
         "divergences": int(n_div),
-        "mean_tree_depth": float(sum_depth) / total,
+        "mean_tree_depth": float(sum_depth) / max(num_samples, 1),
     }
     if compute_ess and num_samples >= 2:
         info["ess"] = effective_sample_size(np.asarray(samples)[None])
@@ -326,7 +342,7 @@ def nuts_sample_chains(model, log_prob_fn: Callable, key,
                                       q0, chain_keys)
 
     carry, qs, alphas = jax.jit(jax.vmap(run))(q0, chain_keys)
-    _, _, log_eps_bar, _, n_div, sum_depth = carry
+    _, _, _, _, log_eps_bar, _, n_div, sum_depth = carry
     samples = qs[:, num_burn:, :]                          # (C, S, P)
     accept_stats = np.asarray(jnp.mean(alphas[:, num_burn:], axis=1))
     step_sizes = (np.exp(np.asarray(log_eps_bar)) if adapt_step_size
@@ -335,7 +351,7 @@ def nuts_sample_chains(model, log_prob_fn: Callable, key,
         "accept_stats": accept_stats,
         "step_sizes": step_sizes,
         "divergences": np.asarray(n_div),
-        "mean_tree_depths": np.asarray(sum_depth) / total,
+        "mean_tree_depths": np.asarray(sum_depth) / max(num_samples, 1),
         "rhat": np.asarray(potential_scale_reduction(samples)),
         "ess": effective_sample_size(samples),
     }

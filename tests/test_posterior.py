@@ -106,8 +106,10 @@ def test_cached_model_has_no_trainables_and_refuses_training():
     m, _, _ = _build()
     post = precompute(m)
     assert all(isinstance(l, CachedSVGPLayer) for l in post.layers)
-    mask = jax.tree_util.tree_leaves(trainable_mask(post.layers))
-    assert not any(mask), "cache buffers must not be trainable"
+    # the WHOLE model, not just the layers: the MC-family branch must
+    # freeze the likelihood too (round-3 review finding)
+    mask = jax.tree_util.tree_leaves(trainable_mask(post))
+    assert not any(mask), "no Param in the cached model may be trainable"
     with pytest.raises(NotImplementedError):
         post.elbo(key=jax.random.PRNGKey(0))
 
