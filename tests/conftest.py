@@ -124,6 +124,15 @@ SLOW_TESTS = {
     "test_posterior.py::test_cached_single_layer_baselines_match_live",
     "test_zoo.py::test_sgpmc_multi_output_hidden_layer",
     "test_dynamic.py::test_exact_vs_plain_methods_single_layer",
+    # round-3 continuation: pipeline parallelism — mesh/scan/ppermute
+    # compiles are heavy; the fast tier keeps the cheap pp_stack/pp_specs
+    # validity oracles (unlisted)
+    "test_pp.py::test_pp_elbo_matches_single_device",
+    "test_pp.py::test_pp_elbo_two_layers_per_stage",
+    "test_pp.py::test_pp_keyed_matches_single_device_emulation",
+    "test_pp.py::test_pp_grads_match_single_device",
+    "test_pp.py::test_pp_dp_composed_matches_single_device",
+    "test_pp.py::test_pp_params_actually_shard_and_step_improves",
 }
 
 

@@ -1,0 +1,200 @@
+"""Pipeline-parallel (stage-sharded layer stack) tests on the virtual
+CPU mesh: the GPipe-scheduled ELBO and its gradients must equal the
+single-device values exactly (fixed zs and the keyed scheme), layers
+must genuinely shard over stages, and the train step must improve."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from numpy.testing import assert_allclose
+from jax.sharding import Mesh
+
+from doubly_stochastic_dgp_tpu import DGP, Gaussian, RBF
+from doubly_stochastic_dgp_tpu.models.mean_functions import Identity
+from doubly_stochastic_dgp_tpu.parallel.mesh import make_mesh
+from doubly_stochastic_dgp_tpu.parallel.pp import (
+    make_pp_train_step, pp_elbo, pp_shard, pp_specs, pp_stack)
+
+
+def _model(N=16, D=3, M=6, S=2, L=4, seed=0):
+    """Homogeneous D->D stack with per-layer-distinct parameters (so a
+    stage applying the wrong layer index cannot cancel out)."""
+    rng = np.random.RandomState(seed)
+    X = rng.randn(N, D)
+    Y = rng.randn(N, D)
+    Z = rng.randn(M, D)
+    kerns = [RBF.make(D, variance=0.5 + 0.3 * l,
+                      lengthscales=1.0 + 0.2 * l) for l in range(L)]
+    m = DGP.build(X, Y, Z, kerns, Gaussian.make(0.1), num_outputs=D,
+                  mean_function=Identity(), num_samples=S)
+    layers = [
+        l.replace(q_mu=l.q_mu.with_value(0.3 * rng.randn(M, D)))
+        for l in m.layers
+    ]
+    return m.replace(layers=layers)
+
+
+def _single_device_elbo(m, zs):
+    S = m.num_samples
+    _, Fm, Fv = m.propagate(m.X_data, zs=zs, S=S)
+    ve = m.likelihood.variational_expectations(Fm[-1], Fv[-1], m.Y_data)
+    KL = sum((l.KL() for l in m.layers), jnp.zeros((), dtype=ve.dtype))
+    return jnp.sum(jnp.mean(ve, 0)) - KL
+
+
+def _full_zs(m, seed=1):
+    rng = np.random.RandomState(seed)
+    S, N = m.num_samples, m.X_data.shape[0]
+    return [jnp.asarray(rng.randn(S, N, l.num_outputs)) for l in m.layers]
+
+
+def test_pp_elbo_matches_single_device():
+    m = _model(L=4)
+    mesh = make_mesh(num_devices=4, axis="stage")
+    zs = _full_zs(m)
+    ref = float(_single_device_elbo(m, zs))
+    got = float(pp_elbo(pp_stack(m), m.X_data, m.Y_data, None, mesh,
+                        n_micro=4, zs=jnp.stack(zs)))
+    assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_pp_elbo_two_layers_per_stage():
+    """L=4 over 2 stages (L_local=2), n_micro != n_stages."""
+    m = _model(L=4)
+    mesh = make_mesh(num_devices=2, axis="stage")
+    zs = _full_zs(m, seed=2)
+    ref = float(_single_device_elbo(m, zs))
+    got = float(pp_elbo(pp_stack(m), m.X_data, m.Y_data, None, mesh,
+                        n_micro=8, zs=jnp.stack(zs)))
+    assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_pp_keyed_matches_single_device_emulation():
+    """The keyed path's RNG scheme (fold layer index, then microbatch)
+    reproduced on one device gives the identical bound."""
+    m = _model(L=2, N=12, S=3)
+    n_stages, n_micro = 2, 3
+    mesh = make_mesh(num_devices=n_stages, axis="stage")
+    key = jax.random.PRNGKey(7)
+    got = float(pp_elbo(pp_stack(m), m.X_data, m.Y_data, key, mesh,
+                        n_micro=n_micro))
+
+    N, D = m.X_data.shape
+    b = N // n_micro
+    S = m.num_samples
+    ve_sum = 0.0
+    for j in range(n_micro):
+        zs = [np.asarray(jax.random.normal(
+            jax.random.fold_in(jax.random.fold_in(key, gl), j),
+            (S, b, m.layers[gl].num_outputs)))
+            for gl in range(len(m.layers))]
+        Xj = m.X_data[j * b:(j + 1) * b]
+        Yj = m.Y_data[j * b:(j + 1) * b]
+        _, Fm, Fv = m.propagate(Xj, zs=zs, S=S)
+        ve = m.likelihood.variational_expectations(Fm[-1], Fv[-1], Yj)
+        ve_sum += float(jnp.sum(jnp.mean(ve, 0)))
+    KL = float(sum((l.KL() for l in m.layers),
+                   jnp.zeros((), dtype=jnp.float64)))
+    assert_allclose(got, ve_sum - KL, rtol=1e-12)
+
+
+def test_pp_grads_match_single_device():
+    m = _model(L=2, N=8, S=1)
+    mesh = make_mesh(num_devices=2, axis="stage")
+    zs = _full_zs(m, seed=3)
+    zs_stacked = jnp.stack(zs)
+
+    X0, Y0 = m.X_data, m.Y_data   # closure data on BOTH sides so the
+    # X_data/Y_data buffer grads agree (zero — not differentiated)
+
+    def loss_single(model):
+        S = model.num_samples
+        _, Fm, Fv = model.propagate(X0, zs=zs, S=S)
+        ve = model.likelihood.variational_expectations(Fm[-1], Fv[-1], Y0)
+        KL = sum((l.KL() for l in model.layers),
+                 jnp.zeros((), dtype=ve.dtype))
+        return -(jnp.sum(jnp.mean(ve, 0)) - KL)
+
+    def loss_pp(model_stacked):
+        return -pp_elbo(model_stacked, X0, Y0, None, mesh,
+                        n_micro=2, zs=zs_stacked)
+
+    g1 = jax.grad(loss_single)(m)
+    g1_stacked = pp_stack(g1)        # stack the per-layer grads
+    g2 = jax.grad(loss_pp)(pp_stack(m))
+    l1 = jax.tree_util.tree_leaves(g1_stacked)
+    l2 = jax.tree_util.tree_leaves(g2)
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-9,
+                        atol=1e-12)
+
+
+def test_pp_dp_composed_matches_single_device():
+    """2-D (data x stage) mesh: rows shard over data, layers over
+    stages; zs shard (stage, -, data, -).  Exact equality."""
+    m = _model(L=2, N=16, S=2)
+    devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, ("data", "stage"))
+    zs = _full_zs(m, seed=4)
+    ref = float(_single_device_elbo(m, zs))
+    got = float(pp_elbo(pp_stack(m), m.X_data, m.Y_data, None, mesh,
+                        n_micro=2, data_axis="data",
+                        zs=jnp.stack(zs)))
+    assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_pp_params_actually_shard_and_step_improves():
+    m = _model(L=4, N=24)
+    mesh = make_mesh(num_devices=4, axis="stage")
+    ms = pp_shard(pp_stack(m), mesh)
+    # each device holds only its own stage's layers
+    stacked_leaf = ms.layers[0].q_mu.unconstrained
+    shard_shapes = {tuple(s.data.shape) for s in
+                    stacked_leaf.addressable_shards}
+    assert shard_shapes == {(1,) + tuple(stacked_leaf.shape[1:])}
+
+    tx = optax.adam(0.02)
+    opt_state = tx.init(ms)
+    step = make_pp_train_step(tx, mesh, n_micro=4)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(25):
+        ms, opt_state, loss = step(ms, opt_state, ms.X_data, ms.Y_data,
+                                   jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.all(np.isfinite(losses))
+
+
+def test_pp_stack_rejects_heterogeneous():
+    rng = np.random.RandomState(0)
+    X, Y, Z = rng.randn(10, 3), rng.randn(10, 1), rng.randn(4, 3)
+    kerns = [RBF.make(3), RBF.make(3)]
+    # default build: final layer has Zero mean + D_out=1 -> heterogeneous
+    m = DGP.build(X, Y, Z, kerns, Gaussian.make(0.1))
+    with pytest.raises(ValueError, match="homogeneous|width"):
+        pp_stack(m)
+
+    # input propagation changes the activation width between stages
+    m2 = _model(L=2)
+    layers = [l.replace(input_prop_dim=3) for l in m2.layers]
+    with pytest.raises(ValueError, match="input propagation"):
+        pp_stack(m2.replace(layers=layers))
+
+    # fewer than 2 layers is not a pipeline
+    with pytest.raises(ValueError, match="at least 2"):
+        pp_stack(m2.replace(layers=m2.layers[:1]))
+
+
+def test_pp_specs_shard_only_layers():
+    from jax.sharding import PartitionSpec as P
+    m = pp_stack(_model(L=2))
+    specs = pp_specs(m)
+    layer_specs = jax.tree_util.tree_leaves(
+        specs.layers, is_leaf=lambda x: isinstance(x, P))
+    assert layer_specs and all(s[0] == "stage" for s in layer_specs)
+    assert specs.X_data == P(None, None)
+    assert specs.likelihood.variance.unconstrained == P()
