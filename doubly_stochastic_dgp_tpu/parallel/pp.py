@@ -54,7 +54,7 @@ __all__ = ["pp_stack", "pp_specs", "pp_shard", "pp_elbo",
            "make_pp_train_step"]
 
 
-def pp_stack(model):
+def pp_stack(model, split_final: bool = False):
     """Stack a homogeneous layer list into one pytree whose leaves carry
     a leading (L,) axis — the axis :func:`pp_specs` shards over stages.
 
@@ -63,8 +63,24 @@ def pp_stack(model):
     structure (this covers every static/numerics field), leaf shapes,
     square D_in == D_out (the activation width must be constant through
     the pipe) and no input propagation.
+
+    ``split_final=True`` handles the paper's canonical shape (equal
+    hidden widths, a *different* final layer — e.g. RBF+White D→D
+    trunks under an RBF D→D_Y Zero-mean head, run_regression.py:61-66):
+    only ``layers[:-1]`` stack/shard over stages; the final layer rides
+    along replicated (``layers`` becomes ``[stacked_trunk, final]``),
+    and the last stage evaluates its conditional moments for the
+    likelihood term — the ELBO needs no sample draw from the final
+    layer (reference dgp.py:83-90 consumes Fmeans[-1]/Fvars[-1]).
     """
     layers = list(model.layers)
+    final = None
+    if split_final:
+        if len(layers) < 3:
+            raise ValueError("split_final pipeline parallelism needs at "
+                             "least a 2-layer trunk + the final layer")
+        final = layers[-1]
+        layers = layers[:-1]
     if len(layers) < 2:
         raise ValueError("pipeline parallelism needs at least 2 layers")
     t0 = type(layers[0])
@@ -97,8 +113,20 @@ def pp_stack(model):
                 f"pp_stack: layer {i} maps D_in={D_in} -> "
                 f"D_out={l.num_outputs}; the pipelined activation must "
                 f"keep one width")
+    if final is not None:
+        fZ = getattr(final, "Z", None)
+        if fZ is not None and fZ.value.shape[1] != layers[0].num_outputs:
+            raise ValueError(
+                f"pp_stack: the final layer consumes width "
+                f"{fZ.value.shape[1]} but the trunk produces "
+                f"{layers[0].num_outputs}")
+        if getattr(final, "input_prop_dim", None):
+            raise ValueError("pp_stack: the final layer uses input "
+                             "propagation, which the pipeline does not "
+                             "carry")
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
-    return model.replace(layers=[stacked])
+    new_layers = [stacked] if final is None else [stacked, final]
+    return model.replace(layers=new_layers)
 
 
 def _n_layers(stacked):
@@ -128,7 +156,11 @@ def pp_specs(model, axis: str = "stage"):
         names = _path_names(path)
         rank = jnp.ndim(leaf)
         if "layers" in names:
-            return P(axis, *([None] * (rank - 1)))
+            i = names.index("layers")
+            # layers[0] is the stacked trunk (stage-sharded); layers[1],
+            # when present, is the split-final head (replicated)
+            if len(names) > i + 1 and names[i + 1] == 0:
+                return P(axis, *([None] * (rank - 1)))
         return P(*([None] * rank))
 
     return jax.tree_util.tree_map_with_path(spec_for, model)
@@ -160,11 +192,19 @@ def pp_elbo(model, X, Y, key, mesh: Mesh, axis: str = "stage",
     folds in the data-axis index first when ``data_axis`` is set.
 
     ``zs`` — a stacked (L, S, N, D) array of fixed whitened points
-    (``jnp.stack`` of the per-layer zs lists used elsewhere) — makes the
-    bound deterministic; it shards (stage, -, data, -).
+    (``jnp.stack`` of the per-layer zs lists used elsewhere; trunk
+    layers only under ``split_final``) — makes the bound deterministic;
+    it shards (stage, -, data, -).
+
+    A model from ``pp_stack(..., split_final=True)`` carries its final
+    layer replicated: the last stage evaluates its conditional moments
+    on the trunk output for the likelihood term (no sample draw — the
+    bound consumes only the final moments, reference dgp.py:83-90) and
+    its KL is added once outside the stage psum.
     """
     n_stages = mesh.shape[axis]
     stacked = model.layers[0]
+    final = model.layers[1] if len(model.layers) > 1 else None
     L = _n_layers(stacked)
     if L % n_stages != 0:
         raise ValueError(f"L={L} layers must divide over the '{axis}' "
@@ -192,6 +232,7 @@ def pp_elbo(model, X, Y, key, mesh: Mesh, axis: str = "stage",
              out_specs=P())
     def run(model, X_l, Y_l, key, zs_l):
         stacked = model.layers[0]               # (L_local, ...) leaves
+        final_l = model.layers[1] if len(model.layers) > 1 else None
         s_idx = jax.lax.axis_index(axis)
         if key is not None and data_axis is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
@@ -220,6 +261,10 @@ def pp_elbo(model, X, Y, key, mesh: Mesh, axis: str = "stage",
                     z = jax.random.normal(kz, (S, b, layer.num_outputs),
                                           dtype=F.dtype)
                 F, mean, var = layer.sample_from_conditional(F, z=z)
+            if final_l is not None:
+                # split-final head (replicated): the bound consumes its
+                # conditional moments on the trunk output — no draw
+                mean, var = final_l.conditional_SND(F)
             return F, mean, var
 
         if getattr(model, "remat", False):
@@ -275,6 +320,10 @@ def pp_elbo(model, X, Y, key, mesh: Mesh, axis: str = "stage",
         for i in range(L_local):
             KL_local = KL_local + _layer_at(stacked, i).KL()
         KL = jax.lax.psum(KL_local, axis)
+        if final_l is not None:
+            # the split-final head is replicated: its KL enters once,
+            # outside the stage psum
+            KL = KL + final_l.KL()
         scale = jnp.asarray(model.num_data, dtype=ve_total.dtype) / B
         return ve_total * scale - KL
 

@@ -133,6 +133,9 @@ SLOW_TESTS = {
     "test_pp.py::test_pp_grads_match_single_device",
     "test_pp.py::test_pp_dp_composed_matches_single_device",
     "test_pp.py::test_pp_params_actually_shard_and_step_improves",
+    "test_pp.py::test_pp_split_final_matches_single_device",
+    "test_pp.py::test_pp_split_final_grads_match_single_device",
+    "test_pp.py::test_pp_split_final_keyed_and_trains",
 }
 
 

@@ -169,6 +169,99 @@ def test_pp_params_actually_shard_and_step_improves():
     assert np.all(np.isfinite(losses))
 
 
+def _flagship_shape_model(N=16, D=3, M=5, S=2, L=3, seed=5):
+    """The paper's canonical shape (run_regression.py:61-66): RBF+White
+    D->D Identity trunk layers under a distinct RBF D->1 Zero head."""
+    from doubly_stochastic_dgp_tpu import White
+
+    rng = np.random.RandomState(seed)
+    X = rng.randn(N, D)
+    Y = rng.randn(N, 1)
+    Z = rng.randn(M, D)
+    kerns = [RBF.make(D, lengthscales=1.0 + 0.2 * l)
+             + White.make(D, variance=2e-6, trainable=False)
+             for l in range(L - 1)] + [RBF.make(D)]
+    m = DGP.build(X, Y, Z, kerns, Gaussian.make(0.1), num_samples=S)
+    layers = list(m.layers)
+    layers[:-1] = [
+        l.replace(q_mu=l.q_mu.with_value(0.3 * rng.randn(M, D)))
+        for l in layers[:-1]
+    ]
+    return m.replace(layers=layers)
+
+
+def test_pp_split_final_matches_single_device():
+    """split_final: homogeneous trunk pipelined, distinct final head
+    replicated — the exact shape DGP.build produces for the paper's
+    configs.  Value equality with fixed zs."""
+    m = _flagship_shape_model(L=3)
+    mesh = make_mesh(num_devices=2, axis="stage")
+    rng = np.random.RandomState(6)
+    S, N = m.num_samples, m.X_data.shape[0]
+    zs_trunk = [jnp.asarray(rng.randn(S, N, l.num_outputs))
+                for l in m.layers[:-1]]
+    # the bound consumes only the final layer's moments, so its draw is
+    # irrelevant — the oracle passes zeros
+    zs_all = zs_trunk + [jnp.zeros((S, N, 1))]
+    ref = float(_single_device_elbo(m, zs_all))
+    got = float(pp_elbo(pp_stack(m, split_final=True), m.X_data,
+                        m.Y_data, None, mesh, n_micro=4,
+                        zs=jnp.stack(zs_trunk)))
+    assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_pp_split_final_grads_match_single_device():
+    """Gradients — including the replicated final head's (whose
+    cotangents psum across stages but are non-zero only on the last) —
+    equal the single-device gradients."""
+    m = _flagship_shape_model(L=3, N=8, S=1)
+    mesh = make_mesh(num_devices=2, axis="stage")
+    rng = np.random.RandomState(7)
+    S, N = 1, 8
+    zs_trunk = [jnp.asarray(rng.randn(S, N, l.num_outputs))
+                for l in m.layers[:-1]]
+    zs_all = zs_trunk + [jnp.zeros((S, N, 1))]
+    zs_stacked = jnp.stack(zs_trunk)
+    X0, Y0 = m.X_data, m.Y_data
+
+    def loss_single(model):
+        _, Fm, Fv = model.propagate(X0, zs=zs_all, S=S)
+        ve = model.likelihood.variational_expectations(Fm[-1], Fv[-1], Y0)
+        KL = sum((l.KL() for l in model.layers),
+                 jnp.zeros((), dtype=ve.dtype))
+        return -(jnp.sum(jnp.mean(ve, 0)) - KL)
+
+    def loss_pp(ms):
+        return -pp_elbo(ms, X0, Y0, None, mesh, n_micro=2,
+                        zs=zs_stacked)
+
+    g1 = pp_stack(jax.grad(loss_single)(m), split_final=True)
+    g2 = jax.grad(loss_pp)(pp_stack(m, split_final=True))
+    l1 = jax.tree_util.tree_leaves(g1)
+    l2 = jax.tree_util.tree_leaves(g2)
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-9,
+                        atol=1e-12)
+
+
+def test_pp_split_final_keyed_and_trains():
+    m = _flagship_shape_model(L=3, N=16)
+    mesh = make_mesh(num_devices=2, axis="stage")
+    ms = pp_shard(pp_stack(m, split_final=True), mesh)
+    tx = optax.adam(0.02)
+    opt_state = tx.init(ms)
+    step = make_pp_train_step(tx, mesh, n_micro=2)
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for i in range(20):
+        ms, opt_state, loss = step(ms, opt_state, ms.X_data, ms.Y_data,
+                                   jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.all(np.isfinite(losses))
+
+
 def test_pp_stack_rejects_heterogeneous():
     rng = np.random.RandomState(0)
     X, Y, Z = rng.randn(10, 3), rng.randn(10, 1), rng.randn(4, 3)
