@@ -202,6 +202,14 @@ def pp_elbo(model, X, Y, key, mesh: Mesh, axis: str = "stage",
     bound consumes only the final moments, reference dgp.py:83-90) and
     its KL is added once outside the stage psum.
     """
+    from ..models.dgp import DGPBase
+    if (type(model).E_log_p_Y is not DGPBase.E_log_p_Y
+            or type(model).elbo is not DGPBase.elbo):
+        raise ValueError(
+            f"pp_elbo pipelines the standard MC bound "
+            f"(DGPBase.E_log_p_Y); {type(model).__name__} overrides it "
+            f"(quadrature / heteroscedastic / collapsed bounds) — use "
+            f"that model's dedicated training path")
     n_stages = mesh.shape[axis]
     stacked = model.layers[0]
     final = model.layers[1] if len(model.layers) > 1 else None

@@ -282,6 +282,19 @@ def test_pp_stack_rejects_heterogeneous():
         pp_stack(m2.replace(layers=m2.layers[:1]))
 
 
+def test_pp_elbo_rejects_custom_bound_models():
+    """Models overriding the MC bound (quadrature / heteroscedastic /
+    collapsed) must fail fast, not silently train the wrong bound."""
+    from doubly_stochastic_dgp_tpu.models.dgp import DGPQuad
+
+    m = _model(L=2, N=8, S=1)
+    mq = DGPQuad.build(np.asarray(m.X_data), np.asarray(m.Y_data),
+                       m.likelihood, m.layers, H=3)
+    mesh = make_mesh(num_devices=2, axis="stage")
+    with pytest.raises(ValueError, match="overrides"):
+        pp_elbo(pp_stack(mq), mq.X_data, mq.Y_data, None, mesh)
+
+
 def test_pp_specs_shard_only_layers():
     from jax.sharding import PartitionSpec as P
     m = pp_stack(_model(L=2))
