@@ -282,6 +282,32 @@ def test_pp_stack_rejects_heterogeneous():
         pp_stack(m2.replace(layers=m2.layers[:1]))
 
 
+def test_pp_remat_value_and_grad_exact():
+    """with_config(m, remat=True) wraps the stage function in
+    jax.checkpoint — values and grads must be unchanged."""
+    from doubly_stochastic_dgp_tpu import with_config
+
+    m = _model(L=2, N=8, S=1)
+    mesh = make_mesh(num_devices=2, axis="stage")
+    zs = _full_zs(m, seed=9)
+    zs_stacked = jnp.stack(zs)
+    X0, Y0 = m.X_data, m.Y_data
+
+    def loss(ms):
+        return -pp_elbo(ms, X0, Y0, None, mesh, n_micro=2,
+                        zs=zs_stacked)
+
+    ms = pp_stack(m)
+    ms_r = with_config(ms, remat=True)
+    assert ms_r.remat and not ms.remat
+    assert_allclose(float(loss(ms_r)), float(loss(ms)), rtol=1e-15)
+    g = jax.tree_util.tree_leaves(jax.grad(loss)(ms))
+    g_r = jax.tree_util.tree_leaves(jax.grad(loss)(ms_r))
+    for a, b in zip(g, g_r):
+        assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12,
+                        atol=1e-15)
+
+
 def test_pp_elbo_rejects_custom_bound_models():
     """Models overriding the MC bound (quadrature / heteroscedastic /
     collapsed) must fail fast, not silently train the wrong bound."""
