@@ -66,6 +66,8 @@ class DGPDamianou(DGPBase):
     The top layer's noise is the Gaussian likelihood's variance.
     """
 
+    full_batch_bound = True     # q(H) has one row per training point
+
     h_mean: Any = None
     h_var: Any = None
     noise: Any = None

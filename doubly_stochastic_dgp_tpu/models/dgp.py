@@ -41,6 +41,13 @@ class DGPBase(Module):
     """Base Deep GP with the Monte-Carlo variational bound
     (reference DGP_Base, dgp.py:35-126)."""
 
+    # True on models whose objective is evaluated on the FULL stored
+    # training set (collapsed bounds are not sums of per-datum terms,
+    # reference model_zoo.py:46-57): fit/fit_dp reject batch_size= for
+    # them instead of silently paying full-batch cost per "minibatch"
+    # step.  Plain class attribute (not a pytree field).
+    full_batch_bound = False
+
     likelihood: Likelihood = None
     layers: Any = None
     X_data: Any = None          # (N, D) training inputs (buffer)

@@ -71,6 +71,8 @@ class GPR(Module):
     tests; built on GPRLayer's collapsed marginal, reference
     layers.py:310-342)."""
 
+    full_batch_bound = True    # exact/collapsed marginal: no minibatching
+
     layer: GPRLayer = None
     likelihood: Gaussian = None
     X_data: Any = None
@@ -115,6 +117,8 @@ class GPR(Module):
 class SGPR(Module):
     """Collapsed sparse GP regression (Titsias bound; built on
     SGPRLayer, reference layers.py:345-402)."""
+
+    full_batch_bound = True    # exact/collapsed marginal: no minibatching
 
     layer: SGPRLayer = None
     likelihood: Gaussian = None
@@ -166,6 +170,8 @@ class GPRFITC(Module):
       bound per column = log N(y; m(X), A^T A + G)
     computed through B = I + (A/sqrt(g)) (A/sqrt(g))^T.
     """
+
+    full_batch_bound = True    # exact/collapsed marginal: no minibatching
 
     kern: Any = None
     Z: Param = None

@@ -30,6 +30,8 @@ class DGPCollapsed(DGPBase):
     """DGP whose final layer is analytically collapsed
     (reference DGP_Collapsed)."""
 
+    full_batch_bound = True     # bound uses the full stored dataset
+
     def inner_layers_propagate(self, X, key=None, full_cov=False, S=1,
                                zs=None):
         """Propagate through layers[:-1] only (reference model_zoo.py:27-44).
