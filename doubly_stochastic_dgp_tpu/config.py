@@ -55,14 +55,17 @@ class Config:
     # (TPU speed mode).  Both agree to ~1e-5 in float32.
     solve_mode: str = "solve"
     # Routing of the fused Pallas conditional: False = never, True =
-    # always (tests force this with interpret mode on CPU), "auto" =
-    # only where an *isolated* kernel-vs-XLA probe wins on a real TPU
-    # (ops/pallas/conditional.py::pallas_profitable).  Default False:
-    # end-to-end training measurements (PERF.md "Fused Pallas
-    # conditional, round 3" + scripts/bench_large_m.py) show XLA's
-    # whole-graph fusion beats the kernel in-context at every shape
-    # tried, including the isolated-win region — the kernel stays as
-    # opt-in infrastructure with exact parity tests.
+    # always (tests force this with interpret mode on CPU), "saved" =
+    # the save-gram variant.  Default False: end-to-end training
+    # measurements (PERF.md "Fused Pallas conditional" final verdict +
+    # scripts/bench_large_m.py) show XLA's whole-graph fusion beats the
+    # kernel in-context at every shape tried, including the isolated
+    # within-noise region — the kernel stays as opt-in infrastructure
+    # with exact parity tests.  'auto'/'auto_saved' were REMOVED
+    # (round-3 VERDICT weak #4): a shape gate that could silently route
+    # a training path through a measured-loss kernel is a footgun;
+    # layers now reject them.  Standalone conditional workloads can
+    # call ops.pallas.conditional.fused_conditional directly.
     use_pallas: object = False
     # Matmul precision for the SVGP conditional's contractions
     # ('default' | 'mixed' | 'highest').  TPU f32 matmuls run at

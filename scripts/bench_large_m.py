@@ -1,13 +1,14 @@
 #!/usr/bin/env python
 """End-to-end training throughput at the fused-Pallas win region.
 
-PERF.md's probe_crossover table shows the streamed-W fused conditional
-beating XLA for few-output-dim conditionals at mid/large M (1.29x at
-M=256/Do=1, B=8192).  This script checks that the shape-gated
-``use_pallas='auto'`` default converts that kernel-level win into a
-*training-loop* win: a 2-layer regression DGP (inner layer Do=D stays on
-XLA, final layer Do=1 rides the fused kernel) at M in {256, 512},
-batch 8192, S=5, Adam, scanned steps.
+Measures whether the fused Pallas conditional converts its isolated
+probe numbers (scripts/probe_crossover.py) into a *training-loop* win:
+a 2-layer regression DGP at M in {256, 512}, batch 8192, S=5, Adam,
+scanned steps, with use_pallas in (False, True, 'saved') — explicit
+opt-ins only; the 'auto' shape gate was removed from the layer surface
+(round-3 VERDICT weak #4).  Verdict on record (PERF.md): the kernel
+loses end-to-end at every measured shape; config.use_pallas stays
+False.
 
 Usage:  python scripts/bench_large_m.py [--steps 300] [--m 256 512]
 Prints one JSON line per (M, mode) plus a speedup summary.
@@ -68,7 +69,7 @@ def main():
 
     results = {}
     for M in args.m:
-        for mode in (False, "auto", "auto_saved"):
+        for mode in (False, True, "saved"):
             model = build(M, mode, args.num_samples)
             rate, loss, _ = measure(model, args.batch, args.steps,
                                     inner_steps=args.inner_steps)
@@ -81,12 +82,12 @@ def main():
                 "final_loss": round(loss, 2),
             }), flush=True)
     for M in args.m:
-        xla, auto = results[(M, False)], results[(M, "auto")]
-        saved = results[(M, "auto_saved")]
+        xla, pallas = results[(M, False)], results[(M, True)]
+        saved = results[(M, "saved")]
         print(json.dumps({"summary": f"M={M}",
-                          "auto_vs_xla": round(auto / xla, 3),
+                          "pallas_vs_xla": round(pallas / xla, 3),
                           "saved_vs_xla": round(saved / xla, 3),
-                          "saved_vs_auto": round(saved / auto, 3)}))
+                          "saved_vs_pallas": round(saved / pallas, 3)}))
 
 
 if __name__ == "__main__":
