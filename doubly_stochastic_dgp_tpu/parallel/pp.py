@@ -201,6 +201,17 @@ def pp_elbo(model, X, Y, key, mesh: Mesh, axis: str = "stage",
     on the trunk output for the likelihood term (no sample draw — the
     bound consumes only the final moments, reference dgp.py:83-90) and
     its KL is added once outside the stage psum.
+
+    **Bubble cost** (GPipe schedule): the scan runs
+    ``T = n_micro + n_stages - 1`` ticks of which ``n_stages - 1`` are
+    fill/drain bubbles, so the idle fraction is
+    ``(n_stages - 1) / (n_micro + n_stages - 1)`` — 50% less one tick
+    at the default ``n_micro = n_stages``.  Raise ``n_micro`` to
+    amortize (at ``2*n_stages`` the bubble is ~33%, at ``8*n_stages``
+    ~11%); each microbatch must stay large enough to keep the MXU busy
+    (B/n_micro rows).  A warning fires when ``n_micro < 2*n_stages``;
+    see SCALING.md §3b for the full cost model (pipeline parallelism
+    here is a parameter-memory lever, not a throughput lever).
     """
     from ..models.dgp import DGPBase
     if (type(model).E_log_p_Y is not DGPBase.E_log_p_Y
@@ -219,6 +230,15 @@ def pp_elbo(model, X, Y, key, mesh: Mesh, axis: str = "stage",
                          f"axis ({n_stages} stages)")
     L_local = L // n_stages
     n_micro = n_micro or n_stages
+    if n_stages > 1 and n_micro < 2 * n_stages:
+        import warnings
+        bubble = (n_stages - 1) / (n_micro + n_stages - 1)
+        warnings.warn(
+            f"pp_elbo: n_micro={n_micro} with {n_stages} stages leaves "
+            f"{bubble:.0%} of the pipeline ticks as fill/drain bubbles "
+            f"(idle fraction = (n_stages-1)/(n_micro+n_stages-1)); "
+            f"raise n_micro to >= {2 * n_stages} to push it below ~33% "
+            f"(see SCALING.md §3b)", stacklevel=2)
     n_data = mesh.shape[data_axis] if data_axis is not None else 1
     N = X.shape[0]
     if N % (n_data * n_micro) != 0:

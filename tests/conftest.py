@@ -137,6 +137,7 @@ SLOW_TESTS = {
     "test_pp.py::test_pp_split_final_grads_match_single_device",
     "test_pp.py::test_pp_split_final_keyed_and_trains",
     "test_pp.py::test_pp_remat_value_and_grad_exact",
+    "test_pp.py::test_pp_bubble_warning_fires_below_2x_stages",
 }
 
 
