@@ -54,7 +54,8 @@ def main():
     config.matmul_precision = "highest"   # f32-TPU MC trajectories track f64 with HIGHEST conditional contractions (PERF.md round-2 precision experiment); cost is amortized at accuracy-run shapes
 
     if not args.synthetic and os.path.isfile(args.data):
-        d = np.load(args.data)
+        from doubly_stochastic_dgp_tpu.data.datasets import load_mnist_npz
+        d = load_mnist_npz(args.data)
         X, Y, Xs, Ys = d["X"], d["Y"], d["Xs"], d["Ys"]
     else:
         X, Y, Xs, Ys = synthetic_multiclass()

@@ -22,7 +22,7 @@ from typing import Dict, Optional
 import numpy as np
 
 __all__ = ["Dataset", "Datasets", "SyntheticRegression",
-           "make_synthetic_regression"]
+           "load_mnist_npz", "make_synthetic_regression"]
 
 _UCI_BASE = "https://archive.ics.uci.edu/ml/machine-learning-databases/"
 
@@ -344,3 +344,44 @@ class Datasets:
                     Protein, WineRed, WineWhite]:
             ds = cls(data_path=data_path)
             self.all_datasets[ds.name] = ds
+
+
+def load_mnist_npz(path: str) -> Dict[str, np.ndarray]:
+    """Load and validate a cached MNIST-style classification npz
+    (the offline stand-in for the reference's mnist import,
+    demo_mnist.ipynb cells 1-5): keys ``X``/``Xs`` are float images
+    scaled to [0, 1] with one flattened row per example, ``Y``/``Ys``
+    are integer class labels of shape (N, 1) (a 1-D label vector is
+    reshaped).  Returns float32 inputs and float labels, the dtypes
+    ``DGP.build`` + ``MultiClass`` consume.
+
+    Raises an actionable error on missing keys / shape or range
+    mismatches so a malformed cache fails loudly rather than producing
+    silently wrong accuracy numbers."""
+    d = np.load(path)
+    missing = [k for k in ("X", "Y", "Xs", "Ys") if k not in d]
+    if missing:
+        raise ValueError(
+            f"{path}: classification npz must carry X, Y, Xs, Ys "
+            f"(missing {missing}); see demos/mnist.py --data")
+    X, Y, Xs, Ys = d["X"], d["Y"], d["Xs"], d["Ys"]
+    out = {}
+    for kx, ky, ki, kl in (("X", "Y", X, Y), ("Xs", "Ys", Xs, Ys)):
+        ki = np.asarray(ki, dtype=np.float32)
+        kl = np.asarray(kl)
+        if kl.ndim == 1:
+            kl = kl[:, None]
+        if ki.ndim != 2 or kl.shape != (ki.shape[0], 1):
+            raise ValueError(
+                f"{path}: {kx} must be (N, D) with {ky} labels (N, 1); "
+                f"got {kx} {ki.shape}, {ky} {kl.shape}")
+        if ki.size and (ki.min() < -1e-6 or ki.max() > 1.0 + 1e-6):
+            raise ValueError(
+                f"{path}: {kx} must be scaled to [0, 1] (the "
+                f"reference's /255 convention); got range "
+                f"[{ki.min():.3g}, {ki.max():.3g}]")
+        if not np.allclose(kl, np.round(kl)):
+            raise ValueError(f"{path}: {ky} must hold integer class "
+                             f"labels; got non-integer values")
+        out[kx], out[ky] = ki, kl.astype(np.float64)
+    return out
