@@ -58,6 +58,17 @@ SLOW_FILES = {
     "test_mcmc_mesh.py",
 }
 SLOW_TESTS = {
+    "test_solve_modes.py::test_conditional_modes_agree[True]",
+    "test_solve_modes.py::test_mixed_high_tier_pins_high_on_staging",
+    "test_dgp.py::TestStepUp::test_dim_increase",
+    "test_single_layer_models.py::test_fitc_diag_variance_clamped_nonnegative",
+    "test_zoo.py::test_sgpmc_layer_hmc_smoke",
+    "test_psi_stats.py::test_psi2_blocked_equals_unblocked",
+    "test_posterior.py::test_precompute_warns_on_multi_stochastic_inner_draw",
+    "test_posterior.py::test_export_predict_y_cached_single_layer",
+    "test_posterior.py::test_cached_heinonen_matches_live",
+    "test_solve_modes.py::test_precision_knob_pins_highest_and_matches_f64",
+    "test_psi_stats.py::test_psi_statistics_grads_match_finite_differences",
     "test_bench.py::test_graft_dryrun_multichip",
     "test_bench.py::test_bench_serving_rows_tiny",
     "test_real_data_path.py::test_run_regression_cli_on_cached_csv",
@@ -146,5 +157,5 @@ def pytest_collection_modifyitems(config, items):
         rel = item.nodeid.split("/")[-1]          # file.py::test[param]
         fname = rel.split("::", 1)[0]
         base = rel.split("[", 1)[0]               # strip parametrization
-        if fname in SLOW_FILES or base in SLOW_TESTS:
+        if fname in SLOW_FILES or base in SLOW_TESTS or rel in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
