@@ -208,7 +208,17 @@ def achievable_ceiling(M):
     return F32_MATMUL_CEILING * (M / Mp) ** 2
 
 
-def measure(model, batch_size, steps, warmup=5, inner_steps=1):
+def measure_stats(model, batch_size, steps, warmup=5, inner_steps=1,
+                  repeats=3):
+    """Train-step throughput with round-over-round comparability
+    (round-3 VERDICT weak #1): the timed section runs ``repeats``
+    independent blocks and reports {median, min, max, spread_pct} of
+    the per-block rates, so a future regression on a dispatch-bound row
+    is distinguishable from tunnel/host noise (the serving rows'
+    best-of-N discipline, utils/timing.py, extended to the scanned
+    rows).  Returns (stats_dict, final_loss, model)."""
+    import statistics
+
     import jax
     import optax
     from doubly_stochastic_dgp_tpu.training.loop import (
@@ -229,13 +239,35 @@ def measure(model, batch_size, steps, warmup=5, inner_steps=1):
         model, opt_state, loss = step(model, opt_state,
                                       jax.random.fold_in(key, i))
     loss.block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(n_calls):
-        model, opt_state, loss = step(model, opt_state,
-                                      jax.random.fold_in(key, 1000 + i))
-    loss.block_until_ready()
-    dt = time.perf_counter() - t0
-    return n_calls * inner_steps / dt, float(loss), model
+    rates = []
+    for r in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        for i in range(n_calls):
+            model, opt_state, loss = step(
+                model, opt_state,
+                jax.random.fold_in(key, 1000 + r * n_calls + i))
+        loss.block_until_ready()
+        dt = time.perf_counter() - t0
+        rates.append(n_calls * inner_steps / dt)
+    med = statistics.median(rates)
+    stats = {
+        "steps_per_sec": med,
+        "steps_per_sec_min": min(rates),
+        "steps_per_sec_max": max(rates),
+        "spread_pct": (100.0 * (max(rates) - min(rates)) / med
+                       if med else 0.0),
+        "repeats": len(rates),
+    }
+    return stats, float(loss), model
+
+
+def measure(model, batch_size, steps, warmup=5, inner_steps=1):
+    """Single-number rate (median of 1 block) — thin back-compat shim
+    over measure_stats for scripts/tests."""
+    stats, loss, model = measure_stats(model, batch_size, steps,
+                                       warmup=warmup,
+                                       inner_steps=inner_steps, repeats=1)
+    return stats["steps_per_sec"], loss, model
 
 
 MATRIX = [
@@ -291,14 +323,20 @@ def run_matrix(args, X, Y):
         steps = args.matrix_steps if mxu_bound else args.matrix_steps * 3
         inner = (args.matrix_inner_steps if mxu_bound
                  else max(args.matrix_inner_steps, 50))
-        rate, loss, _ = measure(model, B, max(steps, inner),
-                                inner_steps=inner)
+        stats, loss, _ = measure_stats(model, B, max(steps, inner),
+                                       inner_steps=inner,
+                                       repeats=getattr(args, "repeats", 3))
+        rate = stats["steps_per_sec"]
         sustained = flops * rate
-        rows.append({
+        row = {
             "name": name, "layers": L, "M": M, "S": S,
             **({"precision": prec[0]} if prec else {}),
             "batch": B if B is not None else batch,
             "steps_per_sec": round(rate, 2),
+            "steps_per_sec_min": round(stats["steps_per_sec_min"], 2),
+            "steps_per_sec_max": round(stats["steps_per_sec_max"], 2),
+            "spread_pct": round(stats["spread_pct"], 1),
+            "repeats": stats["repeats"],
             "flops_per_step": float(f"{flops:.3g}"),
             "tflops_sustained": round(sustained / 1e12, 2),
             # VPU-bound collapsed rows: the matmul ceiling doesn't apply
@@ -306,13 +344,81 @@ def run_matrix(args, X, Y):
                 100 * sustained / achievable_ceiling(M), 1)
                 if mxu_bound else None),
             "final_loss": round(loss, 2),
-        })
+        }
+        _flag_vs_prior(row)
+        rows.append(row)
         mfu_txt = (f", {100 * sustained / achievable_ceiling(M):.1f}% "
                    f"of achievable" if mxu_bound else " (VPU-bound)")
-        print(f"# {name}: {rate:.1f} steps/s, "
+        print(f"# {name}: {rate:.1f} steps/s "
+              f"[{stats['steps_per_sec_min']:.1f}, "
+              f"{stats['steps_per_sec_max']:.1f}], "
               f"{sustained / 1e12:.1f} TFLOP/s{mfu_txt}",
               file=sys.stderr, flush=True)
     return rows
+
+
+def _prior_bench_rows():
+    """Matrix/serving rows of the newest committed BENCH_r*.json, keyed
+    by row name — the round-over-round comparability anchor (round-3
+    VERDICT weak #1)."""
+    import glob
+    files = sorted(glob.glob(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "BENCH_r*.json")))
+    if not files:
+        return {}, None
+    try:
+        with open(files[-1]) as f:
+            txt = f.read()
+        # driver format: {"n":..,"cmd":..,"rc":..,"tail": "<json>"} —
+        # and the tail may be FRONT-TRUNCATED (last-N-bytes capture), so
+        # a whole-line parse can fail.  Fall back to recovering the flat
+        # per-row objects ({"name": ...}) individually.
+        rec = json.loads(txt)
+        if isinstance(rec, dict) and "tail" in rec:
+            tail = rec["tail"].strip().splitlines()[-1]
+            try:
+                rec = json.loads(tail)
+            except Exception:
+                rec = {"matrix": [
+                    json.loads(m) for m in re.findall(
+                        r'\{"name":[^{}]*\}', tail)]}
+        rows = {}
+        for r in rec.get("matrix", []) + rec.get("serving", []):
+            rows[r["name"]] = r
+        return rows, os.path.basename(files[-1])
+    except Exception:
+        return {}, None
+
+
+_PRIOR_ROWS, _PRIOR_FILE = None, None
+
+
+def _flag_vs_prior(row):
+    """Annotate a freshly measured row with the prior round's number and
+    a regression flag when the new spread interval sits clearly below
+    it (beyond spread + a 10% dispatch-noise floor — matrix rows at
+    these shapes see ±10-30% tunnel noise, PERF.md)."""
+    global _PRIOR_ROWS, _PRIOR_FILE
+    if _PRIOR_ROWS is None:
+        _PRIOR_ROWS, _PRIOR_FILE = _prior_bench_rows()
+    prior = _PRIOR_ROWS.get(row["name"])
+    if not prior:
+        return
+    if "steps_per_sec" in row and "steps_per_sec" in prior:
+        prev = prior["steps_per_sec"]
+        row["prior_steps_per_sec"] = prev
+        tol = max(row.get("spread_pct", 0.0) / 100.0, 0.10)
+        row["regressed_vs_prior"] = bool(
+            row.get("steps_per_sec_max", row["steps_per_sec"])
+            < prev * (1.0 - tol))
+    elif "latency_ms" in row and "latency_ms" in prior:
+        # latency_ms IS the best-of-repeats minimum: if even the best
+        # block is slower than the prior round beyond tolerance, flag.
+        prev = prior["latency_ms"]
+        row["prior_latency_ms"] = prev
+        tol = max(row.get("spread_pct", 0.0) / 100.0, 0.10)
+        row["regressed_vs_prior"] = bool(
+            row["latency_ms"] > prev * (1.0 + tol))
 
 
 SERVING_S = 100          # the reference eval loop: S=100 mixture samples
@@ -342,7 +448,7 @@ def run_serving(args, X, Y):
     # Timing methodology (tunneled-TPU pitfall, PERF.md round-2):
     # unique-input dispatch + scalar-readback sync with RTT
     # subtraction, owned by utils/timing.py.
-    from doubly_stochastic_dgp_tpu.utils.timing import timed_per_call
+    from doubly_stochastic_dgp_tpu.utils.timing import timed_per_call_stats
 
     # Cached-posterior serving (models/posterior.py): staging factors
     # (Lu^{-1}, alpha, C) precomputed once, so the per-request program
@@ -356,15 +462,25 @@ def run_serving(args, X, Y):
             ("serve_predict_y", py, (model, Xs)),
             ("serve_predict_y_cached", pyc, (post, Xs)),
             ("serve_predict_density", pd, (model, Xs, Ys))]:
-        best = timed_per_call(
+        stats = timed_per_call_stats(
             lambda i, fn=fn, fnargs=fnargs:
-                fn(*fnargs, jax.random.fold_in(key, 1 + i)))
-        rows.append({
+                fn(*fnargs, jax.random.fold_in(key, 1 + i)),
+            repeats=getattr(args, "repeats", 3))
+        best = stats["best"]
+        row = {
             "name": name, "batch": B, "S": SERVING_S,
             "latency_ms": round(best * 1e3, 2),
+            "latency_ms_median": round(stats["median"] * 1e3, 2),
+            "latency_ms_max": round(stats["max"] * 1e3, 2),
+            "spread_pct": round(stats["spread_pct"], 1),
+            "repeats": stats["repeats"],
             "points_per_sec": round(B / best, 1),
-        })
-        print(f"# {name}: {best * 1e3:.2f} ms/batch, "
+        }
+        _flag_vs_prior(row)
+        rows.append(row)
+        print(f"# {name}: {best * 1e3:.2f} ms/batch "
+              f"[median {stats['median'] * 1e3:.2f}, "
+              f"max {stats['max'] * 1e3:.2f}], "
               f"{B / best:.0f} points/s", file=sys.stderr, flush=True)
     return rows
 
@@ -382,6 +498,11 @@ def main():
                    help="headline config only")
     p.add_argument("--matrix-steps", type=int, default=60)
     p.add_argument("--matrix-inner-steps", type=int, default=20)
+    p.add_argument("--repeats", type=int, default=3,
+                   help="independent timed blocks per row; the JSON "
+                        "carries {median, min, max, spread_pct} so "
+                        "round-over-round deltas are separable from "
+                        "dispatch/tunnel noise")
     p.add_argument("--with-cpu", action="store_true",
                    help="also measure the CPU backend for vs_baseline")
     p.add_argument("--precision", default=None,
@@ -407,8 +528,10 @@ def main():
     model = build_regression(X, Y, args.layers, 100, args.num_samples)
     # flops from the pytree BEFORE measure() donates its buffers
     flops = step_flops(model, 100, args.num_samples, args.batch)
-    rate, loss, _ = measure(model, args.batch, args.steps,
-                            inner_steps=args.inner_steps)
+    hstats, loss, _ = measure_stats(model, args.batch, args.steps,
+                                    inner_steps=args.inner_steps,
+                                    repeats=args.repeats)
+    rate = hstats["steps_per_sec"]
 
     # throughput mode: the same step at precision='default' (the
     # bf16-class matmul path; the r01 headline contract).  The headline
@@ -439,6 +562,9 @@ def main():
                   "M=100, S=10, batch=1000)",
         "value": round(rate, 3),
         "unit": "steps/sec",
+        "steps_per_sec_min": round(hstats["steps_per_sec_min"], 3),
+        "steps_per_sec_max": round(hstats["steps_per_sec_max"], 3),
+        "spread_pct": round(hstats["spread_pct"], 1),
         "vs_baseline": round(rate / baseline, 3),
         "platform": platform,
         "real_kin8nm": real,

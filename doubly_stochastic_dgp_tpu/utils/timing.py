@@ -24,7 +24,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-__all__ = ["timed_per_call"]
+__all__ = ["timed_per_call", "timed_per_call_stats"]
 
 
 def _sync(out):
@@ -32,26 +32,47 @@ def _sync(out):
     return float(jnp.sum(jax.tree_util.tree_leaves(out)[0].ravel()[0]))
 
 
-def timed_per_call(call, n=30, repeats=3):
-    """Best-of-``repeats`` mean seconds per ``call(i)``.
+def timed_per_call_stats(call, n=30, repeats=3):
+    """Per-repeat mean seconds per ``call(i)``, with spread.
 
     ``call(i)`` must dispatch one unique execution (fold the integer
     ``i`` into a PRNG key or perturb an input by ``i * 1e-12``) and
     return its device output.  ``call`` is invoked once with a negative
     index to warm up / obtain an output for the RTT probe; measurement
     indices are ``0 .. repeats*n - 1``.
+
+    Returns a dict with the best (min), median and max of the
+    ``repeats`` block means plus ``spread_pct`` — so a bench row can
+    record whether a round-over-round delta exceeds its own noise
+    (round-3 VERDICT weak #1).
     """
+    import statistics
+
     out = call(-1)
     rtt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         _sync(out)
         rtt = min(rtt, time.perf_counter() - t0)
-    best = float("inf")
-    for r in range(repeats):
+    means = []
+    for r in range(max(1, repeats)):
         t0 = time.perf_counter()
         for i in range(n):
             out = call(r * n + i)
         _sync(out)
-        best = min(best, (time.perf_counter() - t0 - rtt) / n)
-    return best
+        means.append((time.perf_counter() - t0 - rtt) / n)
+    best = min(means)
+    return {
+        "best": best,
+        "median": statistics.median(means),
+        "max": max(means),
+        "spread_pct": (100.0 * (max(means) - best) / best
+                       if best > 0 else 0.0),
+        "repeats": len(means),
+    }
+
+
+def timed_per_call(call, n=30, repeats=3):
+    """Best-of-``repeats`` mean seconds per ``call(i)`` (see
+    ``timed_per_call_stats`` for the contract and methodology)."""
+    return timed_per_call_stats(call, n=n, repeats=repeats)["best"]

@@ -71,6 +71,7 @@ SLOW_TESTS = {
     "test_psi_stats.py::test_psi_statistics_grads_match_finite_differences",
     "test_bench.py::test_graft_dryrun_multichip",
     "test_bench.py::test_bench_serving_rows_tiny",
+    "test_bench.py::test_bench_measure_stats_tiny",
     "test_real_data_path.py::test_run_regression_cli_on_cached_csv",
     "test_float32.py::test_f32_elbo_tracks_f64",
     "test_float32.py::test_f32_training_finite_while_escalation_fires",
