@@ -30,14 +30,25 @@ __all__ = ["psi_statistics"]
 # (at M=100, f32, the default is ~330 MB of transient vs unbounded).
 PSI2_BLOCK_ROWS = 8192
 
+# Element budget for one (block, M, M) transient: at M > ~100 the row
+# cap alone stops bounding memory (M=512 at 8192 rows would be an 8.6 GB
+# f32 intermediate), so the effective block is
+# min(PSI2_BLOCK_ROWS, PSI2_BLOCK_ELEMS // M^2) — the M=100 behavior is
+# unchanged, larger M trades scan length for bounded peak memory.
+PSI2_BLOCK_ELEMS = 8192 * 100 * 100
+
+
+def _psi2_block_rows(M):
+    return min(PSI2_BLOCK_ROWS, max(128, PSI2_BLOCK_ELEMS // (M * M)))
+
 
 def _blocked_data_sum(block_fn, mu, S, out_shape):
     """Accumulate ``block_fn(mu_b, S_b, w_b) -> out_shape`` over row
     blocks of the data (lax.scan), so peak memory for the per-row
-    intermediates stays O(PSI2_BLOCK_ROWS * ...) however large N grows.
+    intermediates stays O(block * ...) however large N grows.
     ``w_b`` is a row mask that zeroes padded rows."""
     N = mu.shape[0]
-    block = PSI2_BLOCK_ROWS
+    block = _psi2_block_rows(out_shape[0])
     if N <= block:
         return block_fn(mu, S, jnp.ones((N,), dtype=mu.dtype))
     n_blocks = -(-N // block)

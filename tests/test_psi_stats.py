@@ -146,6 +146,47 @@ def test_psi2_blocked_equals_unblocked():
     np.testing.assert_allclose(np.asarray(p1a), np.asarray(p1b))
 
 
+def test_psi2_block_rows_adaptive_in_m():
+    """The psi2 block size shrinks with M so the (block, M, M)
+    transient stays within PSI2_BLOCK_ELEMS (round-4: the compute-bound
+    collapsed shapes at M=256-512 would otherwise transiently allocate
+    2-8.6 GB); the M<=100 behavior is unchanged and an explicitly tiny
+    PSI2_BLOCK_ROWS (test override) still wins."""
+    import doubly_stochastic_dgp_tpu.ops.psi_stats as ps
+
+    assert ps._psi2_block_rows(100) == ps.PSI2_BLOCK_ROWS
+    for M in (256, 512):
+        b = ps._psi2_block_rows(M)
+        assert 128 <= b < ps.PSI2_BLOCK_ROWS
+        assert b * M * M <= ps.PSI2_BLOCK_ELEMS
+    old = ps.PSI2_BLOCK_ROWS
+    try:
+        ps.PSI2_BLOCK_ROWS = 8
+        assert ps._psi2_block_rows(512) == 8
+    finally:
+        ps.PSI2_BLOCK_ROWS = old
+
+    # equality at a shape where the element budget (not the row cap)
+    # sets the block: N=300 rows at M forced so block < N
+    rng = np.random.RandomState(3)
+    N, D, M = 300, 2, 7
+    mu = jnp.asarray(rng.randn(N, D))
+    S = jnp.asarray(rng.rand(N, D) * 0.3 + 0.05)
+    Z = jnp.asarray(rng.randn(M, D))
+    kern = RBF.make(D, variance=0.8, lengthscales=1.1)
+    p0a, p1a, p2a = ps.psi_statistics(kern, mu, S, Z)
+    old_elems = ps.PSI2_BLOCK_ELEMS
+    try:
+        ps.PSI2_BLOCK_ELEMS = 128 * M * M     # block == 128 < N
+        assert ps._psi2_block_rows(M) == 128
+        p0b, p1b, p2b = ps.psi_statistics(kern, mu, S, Z)
+    finally:
+        ps.PSI2_BLOCK_ELEMS = old_elems
+    np.testing.assert_allclose(np.asarray(p2a), np.asarray(p2b),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p1a), np.asarray(p1b))
+
+
 def test_rank_separated_psi1_clamped_at_f32_cancellation():
     """The rank-separated psi1 quadratic (mu^2 - 2 mu z + z^2 form) is
     exact math <= 0; in float32 with mu == z at large coordinates the
