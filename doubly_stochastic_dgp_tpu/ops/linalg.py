@@ -26,7 +26,9 @@ from ..config import default_jitter
 __all__ = [
     "add_jitter",
     "safe_cholesky",
+    "safe_cholesky_inv",
     "safe_cholesky_ladder",
+    "safe_cholesky_ladder_inv",
     "tri_solve",
     "inv_lower",
     "reparameterize",
@@ -89,7 +91,9 @@ def _cholesky_rungs(K, jitters, relative):
     return _cholesky_rungs_fwd(K, jitters, relative)[0]
 
 
-def _cholesky_rungs_fwd(K, jitters, relative):
+def _rungs_select(K, jitters, relative):
+    """The shared forward rung selection: one live factorization, a
+    ``lax.cond``-gated escalation ladder (see ``_cholesky_rungs``)."""
     M = K.shape[-1]
     I = jnp.eye(M, dtype=K.dtype)
     if relative:
@@ -115,7 +119,11 @@ def _cholesky_rungs_fwd(K, jitters, relative):
             sel = jnp.where(ok(L_), L_, sel)
         return sel
 
-    L = jax.lax.cond(all_ok, no_escalation, escalate, None)
+    return jax.lax.cond(all_ok, no_escalation, escalate, None)
+
+
+def _cholesky_rungs_fwd(K, jitters, relative):
+    L = _rungs_select(K, jitters, relative)
     return L, L
 
 
@@ -124,6 +132,55 @@ def _cholesky_rungs_bwd(jitters, relative, L, gL):
 
 
 _cholesky_rungs.defvjp(_cholesky_rungs_fwd, _cholesky_rungs_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _cholesky_rungs_inv(K, jitters, relative):
+    """Fused rung-escalation Cholesky + triangular inverse: one
+    custom_vjp region producing ``(L, Li = L^{-1})``.
+
+    Round-4 perf lever (round-3 VERDICT next #5a): the staged-inverse
+    paths always consume ``inv_lower(safe_cholesky(K))`` as a unit, and
+    differentiating the unfused composition puts TWO more sequential
+    triangular solves on the backward pass (the ``triangular_solve``
+    transpose rule, plus the Cholesky pullback's own ``inv_lower``).
+    Fusing makes ``Li`` a saved residual, so the whole backward is
+    closed-form MXU matmuls:
+
+        d(Li) = -Li dL Li          =>  gL += tril(-Li^T gLi Li^T)
+        gK    = 0.5 (Li^T phi(L^T gL) Li + transpose)   (Murray 2016)
+
+    — zero triangular solves on the autodiff path.  Forward values are
+    bitwise identical to the unfused composition; gradients are the
+    same math through a different (solve-free) evaluation.  All
+    pullback matmuls run at HIGHEST precision (hyperparameter-gradient
+    path; trivial flops next to the batch work)."""
+    return _cholesky_rungs_inv_fwd(K, jitters, relative)[0]
+
+
+def _cholesky_rungs_inv_fwd(K, jitters, relative):
+    L = _rungs_select(K, jitters, relative)
+    Li = inv_lower(L)
+    return (L, Li), (L, Li)
+
+
+def _cholesky_rungs_inv_bwd(jitters, relative, res, g):
+    L, Li = res
+    gL, gLi = g
+    HI = jax.lax.Precision.HIGHEST
+    gL = jnp.tril(gL)
+    # inverse pullback: <gLi, -Li dL Li> = <tril(-Li^T gLi Li^T), dL>
+    t = jnp.einsum("...ki,...kj->...ij", Li, jnp.tril(gLi), precision=HI)
+    gL = gL - jnp.tril(
+        jnp.einsum("...ik,...jk->...ij", t, Li, precision=HI))
+    # Cholesky pullback on the saved factor, reusing the saved inverse
+    mid = _phi(jnp.einsum("...ki,...kj->...ij", L, gL, precision=HI))
+    t2 = jnp.einsum("...ki,...kj->...ij", Li, mid, precision=HI)
+    gA = jnp.einsum("...ik,...kj->...ij", t2, Li, precision=HI)
+    return (0.5 * (gA + jnp.swapaxes(gA, -1, -2)),)
+
+
+_cholesky_rungs_inv.defvjp(_cholesky_rungs_inv_fwd, _cholesky_rungs_inv_bwd)
 
 
 def safe_cholesky(K, jitter=None):
@@ -184,6 +241,27 @@ def safe_cholesky_ladder(K, jitters=(0.0, 1e-7, 1e-5, 1e-3, 1e-1, 1.0)):
     return _cholesky_rungs(K, tuple(float(j) for j in jitters), True)
 
 
+def safe_cholesky_inv(K, jitter=None):
+    """``(safe_cholesky(K), inv_lower(L))`` as ONE custom_vjp region.
+
+    Same rung policy as :func:`safe_cholesky`; forward bitwise
+    identical to the unfused composition.  Use wherever the factor and
+    its inverse are consumed together on a gradient path (the staged-
+    inverse conditionals): the fused backward is matmul-only — no
+    sequential triangular solves — see ``_cholesky_rungs_inv``."""
+    j0 = float(default_jitter() if jitter is None else jitter)
+    return _cholesky_rungs_inv(K, (j0, 1e2 * j0, 1e4 * j0), False)
+
+
+def safe_cholesky_ladder_inv(K, jitters=(0.0, 1e-7, 1e-5, 1e-3, 1e-1,
+                                         1.0)):
+    """``(safe_cholesky_ladder(K), inv_lower(L))`` as one custom_vjp
+    region — the fused variant of :func:`safe_cholesky_ladder` for the
+    collapsed bound's B factorization in inverse solve mode (same
+    relative rung policy; matmul-only backward)."""
+    return _cholesky_rungs_inv(K, tuple(float(j) for j in jitters), True)
+
+
 def inv_lower(L):
     """Inverse of a lower-triangular matrix (batched over leading dims)."""
     eye = jnp.eye(L.shape[-1], dtype=L.dtype)
@@ -192,7 +270,7 @@ def inv_lower(L):
     return jax.vmap(lambda l: solve_triangular(l, eye, lower=True))(L)
 
 
-def tri_solve(L, B, lower=True, trans=False, mode="solve"):
+def tri_solve(L, B, lower=True, trans=False, mode="solve", Li=None):
     """Solve op(L) X = B for triangular L with an explicit strategy.
 
     ``mode='solve'`` is the reference triangular back-substitution.
@@ -202,9 +280,17 @@ def tri_solve(L, B, lower=True, trans=False, mode="solve"):
     back-substitution loop.  The mode is an explicit argument (layers
     pass their static ``solve_mode`` field) so jitted callers never read
     mutable global config at trace time.
+
+    ``Li`` (inverse mode only, requires ``lower=True``): a precomputed
+    lower-triangular inverse of L — pass the second output of
+    :func:`safe_cholesky_inv` so repeated solves against one factor
+    share the fused factor+inverse region (matmul-only backward).
     """
     if mode == "inverse":
-        Li = inv_lower(L) if lower else inv_lower(L.T).T
+        if Li is None:
+            Li = inv_lower(L) if lower else inv_lower(L.T).T
+        elif not lower:
+            raise ValueError("tri_solve(Li=...) requires lower=True")
         op = Li.T if trans else Li
         return op @ B
     return solve_triangular(L, B, lower=lower, trans=1 if trans else 0)

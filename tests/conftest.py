@@ -150,6 +150,10 @@ SLOW_TESTS = {
     "test_pp.py::test_pp_split_final_keyed_and_trains",
     "test_pp.py::test_pp_remat_value_and_grad_exact",
     "test_pp.py::test_pp_bubble_warning_fires_below_2x_stages",
+    # round-4: fused chol+inverse — the fast tier keeps the bitwise
+    # forward, the solve-free jaxpr pin, and the tri_solve(Li=) oracle
+    "test_linalg.py::test_safe_cholesky_inv_grad_matches_unfused",
+    "test_linalg.py::test_safe_cholesky_ladder_inv_escalates_with_finite_grads",
 }
 
 

@@ -229,3 +229,112 @@ def test_safe_cholesky_ladder_escalates_with_finite_grads():
     v, g = jax.value_and_grad(f)(K)
     assert np.isfinite(float(v))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_safe_cholesky_inv_forward_bitwise_vs_unfused():
+    """The fused (L, Li) region returns bitwise the unfused composition
+    inv_lower(safe_cholesky(K)) — it is the same forward computation
+    inside one custom_vjp boundary (round-4 perf lever, VERDICT r3 #5a)."""
+    from doubly_stochastic_dgp_tpu.ops.linalg import (inv_lower,
+                                                      safe_cholesky,
+                                                      safe_cholesky_inv)
+
+    rng = np.random.RandomState(3)
+    A = rng.randn(12, 12)
+    K = jnp.asarray(A @ A.T + 12 * np.eye(12))
+    L, Li = safe_cholesky_inv(K, 1e-8)
+    L0 = safe_cholesky(K, 1e-8)
+    np.testing.assert_array_equal(np.asarray(L), np.asarray(L0))
+    np.testing.assert_array_equal(np.asarray(Li), np.asarray(inv_lower(L0)))
+
+
+def test_safe_cholesky_inv_grad_matches_unfused():
+    """Gradients through BOTH outputs of the fused region agree with the
+    unfused composition (native cholesky + inv_lower autodiff) to f64
+    machine epsilon — the matmul-only backward is the same math through
+    a solve-free evaluation."""
+    from doubly_stochastic_dgp_tpu.ops.linalg import (inv_lower,
+                                                      safe_cholesky_inv)
+
+    rng = np.random.RandomState(4)
+    for n in (5, 9):
+        A = rng.randn(n, n)
+        K = jnp.asarray(A @ A.T + n * np.eye(n))
+        W1 = jnp.asarray(rng.randn(n, n))
+        W2 = jnp.asarray(rng.randn(n, n))
+
+        def loss(pair):
+            L, Li = pair
+            return (jnp.sum(W1 * L) + jnp.sum(W2 * Li)
+                    + jnp.sum((Li @ L) ** 2)
+                    + jnp.sum(jnp.log(jnp.diagonal(L))))
+
+        eye = jnp.eye(n)
+        g_fused = jax.grad(
+            lambda k: loss(safe_cholesky_inv(k, 1e-12)))(K)
+        g_unf = jax.grad(lambda k: (lambda L: loss((L, inv_lower(L))))(
+            jnp.linalg.cholesky(k + 1e-12 * eye)))(K)
+        sym = lambda g: 0.5 * (g + g.T)
+        assert_allclose(np.asarray(sym(g_fused)), np.asarray(sym(g_unf)),
+                        rtol=1e-11, atol=1e-11)
+
+
+def test_safe_cholesky_inv_backward_is_solve_free():
+    """The whole point of the fusion: the grad jaxpr contains ZERO
+    triangular solves (the unfused composition's VJP carries the
+    triangular_solve transpose rule + the Cholesky pullback's own
+    inverse) and exactly one top-level factorization."""
+    from doubly_stochastic_dgp_tpu.ops.linalg import safe_cholesky_inv
+
+    K = jnp.eye(8) * 2.0
+
+    def f(k):
+        L, Li = safe_cholesky_inv(k, 1e-6)
+        return jnp.sum(L) + jnp.sum(Li ** 2)
+
+    jaxpr_g = jax.make_jaxpr(jax.grad(f))(K)
+    assert _toplevel_primitive_count(jaxpr_g, "cholesky") == 1, jaxpr_g
+    assert _toplevel_primitive_count(jaxpr_g, "triangular_solve") == 1, \
+        jaxpr_g  # the single forward inv_lower; none added by the VJP
+
+
+def test_safe_cholesky_ladder_inv_escalates_with_finite_grads():
+    """Fused ladder variant: indefinite input picks a positive rung,
+    both outputs are finite, gradients through both stay finite."""
+    from doubly_stochastic_dgp_tpu.ops.linalg import safe_cholesky_ladder_inv
+
+    rng = np.random.RandomState(5)
+    A = rng.randn(5, 5)
+    K0 = A @ A.T + 5 * np.eye(5)
+    w, V = np.linalg.eigh(K0)
+    w[0] = -1e-5
+    K = jnp.asarray(V @ np.diag(w) @ V.T)
+
+    def f(K):
+        L, Li = safe_cholesky_ladder_inv(K, jitters=(0.0, 1e-4, 1e-2))
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(Li)
+
+    v, g = jax.value_and_grad(f)(K)
+    assert np.isfinite(float(v))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_tri_solve_precomputed_inverse():
+    """tri_solve(Li=...) (inverse mode) matches the self-computed path
+    bitwise and rejects lower=False."""
+    import pytest
+
+    M, B = 10, 4
+    rng = np.random.RandomState(6)
+    A = rng.randn(M, M)
+    L = jnp.asarray(np.linalg.cholesky(A @ A.T + np.eye(M)))
+    Rhs = jnp.asarray(rng.randn(M, B))
+    from doubly_stochastic_dgp_tpu.ops.linalg import inv_lower
+    Li = inv_lower(L)
+    for trans in (False, True):
+        x0 = tri_solve(L, Rhs, lower=True, trans=trans, mode="inverse")
+        x1 = tri_solve(L, Rhs, lower=True, trans=trans, mode="inverse",
+                       Li=Li)
+        np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))
+    with pytest.raises(ValueError, match="lower=True"):
+        tri_solve(L, Rhs, lower=False, mode="inverse", Li=Li)
