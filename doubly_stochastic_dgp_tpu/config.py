@@ -85,6 +85,19 @@ class Config:
     # build time like solve_mode; flip with with_config(m,
     # precision=...).
     matmul_precision: str = "mixed"
+    # psi2 data-sum implementation ('auto' | 'xla' | 'pallas').  'auto'
+    # routes the RBF/RBF-cross psi2 through the fused Pallas kernel
+    # (ops/pallas/psi2.py) on TPU inside its measured-WIN region only
+    # (small input dim D <= 4, M <= 512 — the collapsed family's hidden
+    # layers; 2.0x on the dominant op at D=1, PERF.md round-4) and the
+    # blocked XLA path everywhere else.  'pallas' forces the kernel
+    # (interpret mode off-TPU — tests), 'xla' forces the blocked path.
+    # Unlike use_pallas this IS an auto gate: the kernel's win region
+    # was measured end-to-end fwd AND bwd on chip, and the gate routes
+    # to XLA outside it.  Read at trace time by ops/psi_stats.py (NOT a
+    # build-time layer snapshot; flipping it requires a retrace, e.g. a
+    # fresh jit or with_config rebuild).
+    psi2_impl: str = "auto"
     # Rematerialize each layer's conditional in the backward pass
     # (jax.checkpoint in DGPBase.propagate): ~1 extra forward of FLOPs
     # for O(L) fewer (S*B, M)-class saved intermediates in HBM — turn

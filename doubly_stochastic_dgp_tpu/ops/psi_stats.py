@@ -42,6 +42,33 @@ def _psi2_block_rows(M):
     return min(PSI2_BLOCK_ROWS, max(128, PSI2_BLOCK_ELEMS // (M * M)))
 
 
+def _psi2_route(N, M, D, dtype):
+    """('xla' | 'pallas', interpret) for the RBF psi2 data-sum.
+
+    ``config.psi2_impl`` (trace-time read): 'auto' picks the fused
+    Pallas kernel (ops/pallas/psi2.py) on TPU inside its measured-win
+    region (small D — the kernel is VPU-recompute-bound at ~(6 + 2D)
+    ops/element while the XLA path is HBM-bound and D-independent;
+    on-chip crossover D ~ 7, gate at 4, PERF.md round-4), 'pallas'
+    forces the kernel wherever its hard shape limits allow (interpret
+    mode off-TPU — how the CPU equality tests drive it), 'xla' forces
+    the blocked XLA path."""
+    from ..config import config
+    from .pallas.psi2 import (is_tpu_backend, psi2_kernel_profitable,
+                              psi2_kernel_supported)
+
+    mode = getattr(config, "psi2_impl", "auto")
+    if mode == "xla":
+        return "xla", False
+    if mode == "pallas":
+        if psi2_kernel_supported(N, M, D, dtype):
+            return "pallas", not is_tpu_backend()
+        return "xla", False
+    if is_tpu_backend() and psi2_kernel_profitable(N, M, D, dtype):
+        return "pallas", False
+    return "xla", False
+
+
 def _blocked_data_sum(block_fn, mu, S, out_shape):
     """Accumulate ``block_fn(mu_b, S_b, w_b) -> out_shape`` over row
     blocks of the data (lax.scan), so peak memory for the per-row
@@ -123,6 +150,32 @@ def _rbf_cross_psi2(ka: RBF, kb: RBF, mu, S, Z):
     c = _z_center(Z)
     Z = Z - c
     mu = mu - c
+
+    N, D = mu.shape
+    M = Z.shape[0]
+    route, interpret = _psi2_route(N, M, D, mu.dtype)
+    if route == "pallas":
+        # Fused-kernel path: stage the one-sided quadratic halves as
+        # full-(N, M) arrays (cheap matmuls under the caller's HIGHEST
+        # context), then one pallas_call does the (N, M, M) assembly +
+        # exp + n-reduce entirely in VMEM — no HBM materialization of
+        # the 3-D block (the XLA path's binding cost at scale).
+        from .pallas.psi2 import psi2_core
+
+        denom = h + S                                           # (N, D)
+        logdet = 0.5 * jnp.sum(jnp.log(h) - jnp.log(denom),
+                               axis=-1, keepdims=True)          # (N, 1)
+        inv = 1.0 / denom                                       # (N, D)
+        t_mu2 = jnp.sum(mu ** 2 * inv, axis=-1)                 # (N,)
+        P1 = (mu * inv * beta) @ Z.T                            # (N, M)
+        P2 = (mu * inv * alpha) @ Z.T                           # (N, M)
+        Q1 = (inv * beta ** 2) @ (Z ** 2).T                     # (N, M)
+        Q2 = (inv * alpha ** 2) @ (Z ** 2).T                    # (N, M)
+        Uq = -0.5 * (t_mu2[:, None] - 2.0 * P1 + Q1)            # (N, M)
+        Vq = -0.5 * (Q2 - 2.0 * P2)                             # (N, M)
+        wq = inv * alpha * beta                                 # (N, D)
+        T = psi2_core(Uq, Vq, wq, logdet, Z, interpret)         # (M, M)
+        return va * vb * jnp.exp(log_zz) * T
 
     def block_sum(mu_b, S_b, w_b):
         """Sum over the rows of one (block, D) slab; w_b masks padding.

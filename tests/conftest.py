@@ -154,6 +154,12 @@ SLOW_TESTS = {
     # forward, the solve-free jaxpr pin, and the tri_solve(Li=) oracle
     "test_linalg.py::test_safe_cholesky_inv_grad_matches_unfused",
     "test_linalg.py::test_safe_cholesky_ladder_inv_escalates_with_finite_grads",
+    # round-4: hybrid psi2 kernel — fast tier keeps the forward parity
+    # oracle + the pure-python route/supported gates
+    "test_pallas_psi2.py::test_gradients_match_reference_all_operands",
+    "test_pallas_psi2.py::test_clamp_gate_zeroes_quadratic_gradients_but_not_logdet",
+    "test_pallas_psi2.py::test_psi2_kernel_path_matches_xla_path",
+    "test_pallas_psi2.py::test_psi2_kernel_path_sum_kernel_cross_terms",
 }
 
 
