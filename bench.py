@@ -135,17 +135,24 @@ def build_mnist_shape(M=100):
                          num_samples=1)
 
 
-def build_damianou(X, Y, M=100, L=2, N=1500):
-    """Fully-collapsed Damianou-Lawrence DGP at an N~1500 full-batch
-    shape (its bound is not a per-datum sum; no minibatching — round-2
-    VERDICT weak #3: the psi-statistics cost center on the record)."""
+def build_damianou(X, Y, M=100, L=2, N=1500, hidden=None):
+    """Fully-collapsed Damianou-Lawrence DGP at a full-batch shape (the
+    bound is not a per-datum sum; no minibatching — round-2 VERDICT
+    weak #3: the psi-statistics cost center on the record).
+
+    ``hidden`` sets the latent-layer width (default: input dim).  The
+    compute-bound row uses hidden=2, the Damianou & Lawrence setting
+    (the paper's deep-GP latent spaces are 1-5 dimensional) — and the
+    width the hybrid psi2 backward kernel is gated for (D <= 2,
+    ops/pallas/psi2.py)."""
     import doubly_stochastic_dgp_tpu as dsd
     from scipy.cluster.vq import kmeans2
 
     X, Y = X[:N], Y[:N]
     Z = kmeans2(X, M, minit="points", seed=0)[0]
     D = X.shape[1]
-    kerns = [dsd.RBF.make(D) for _ in range(L)]
+    dims = [D] + [hidden or D] * (L - 1)
+    kerns = [dsd.RBF.make(d) for d in dims]
     return dsd.DGPDamianou.build(X, Y, Z, kerns, dsd.Gaussian.make(0.05))
 
 
@@ -175,11 +182,46 @@ def collapsed_step_flops(model, M, N):
     per (n, m, m') for the RBF cross terms, forced to HIGHEST precision
     — ops/psi_stats.py), plus O(M^3) factorizations; bwd ~ 2x fwd.
     These are VPU-bound, not MXU matmuls, so no %-of-achievable is
-    reported for these rows (the matmul ceiling doesn't apply)."""
+    reported for these rows (the matmul ceiling doesn't apply — see
+    pct_of_psi2_roofline for the ceiling that does)."""
     L = len(model.layers)
     D = model.X_data.shape[1]
     fwd = L * (6 * N * M * M + 2 * N * M * D + 4 * M ** 3)
     return 3 * fwd
+
+
+# Measured psi2 fwd+bwd element rates through _rbf_cross_psi2 at the
+# compute-bound shape (N=8192, M=256, one v5e chip — PERF.md round-4):
+# the dominant-op ceilings for the collapsed family, playing the role
+# F32_MATMUL_CEILING plays for the MC family.  'hybrid' = the Pallas-
+# backward route (config.psi2_impl auto, D <= 2); 'xla' = the blocked
+# XLA route (D > 2: one structural (N, M, M) HBM roundtrip fwd +
+# residual traffic bwd).
+PSI2_FWDBWD_ELEM_RATE_HYBRID = 37.4e9     # elems/s (D <= 2)
+PSI2_FWDBWD_ELEM_RATE_XLA = 20.5e9        # elems/s (D > 2)
+
+
+def collapsed_psi_roofline_seconds(model, M, N):
+    """Ideal seconds/step if the step were ONLY its psi2 data-sums
+    running at the measured dominant-op rate: sum over uncertain-input
+    layers of N*M^2 elements at the route's ceiling rate.  The bench
+    reports pct_of_psi2_roofline = ideal / measured — a real
+    utilization fraction for the VPU/HBM-bound collapsed rows
+    (round-3 VERDICT next #1)."""
+    from doubly_stochastic_dgp_tpu.ops.pallas.psi2 import (
+        PSI2_KERNEL_MAX_D)
+
+    dims = []
+    if hasattr(model, "h_mean") and model.h_mean:        # DGPDamianou
+        dims = [h.value.shape[1] for h in model.h_mean]
+    elif hasattr(model, "inner_layers_propagate"):       # DGPCollapsed
+        dims = [model.layers[-1].kern.input_dim]
+    total = 0.0
+    for d in dims:
+        rate = (PSI2_FWDBWD_ELEM_RATE_HYBRID if d <= PSI2_KERNEL_MAX_D
+                else PSI2_FWDBWD_ELEM_RATE_XLA)
+        total += N * M * M / rate
+    return total
 
 
 def step_flops(model, M, S, B):
@@ -284,6 +326,12 @@ MATRIX = [
     # round-2 VERDICT next-step #4)
     ("damianou_L2", 2, 100, 1, 1500, "damianou"),
     ("collapsed_L2", 2, 100, 1, 1500, "collapsed"),
+    # compute-bound collapsed roofline row (round-3 VERDICT next #1):
+    # N=8192, M=256, hidden width 2 (the Damianou-Lawrence latent-dim
+    # setting, and the hybrid psi2 kernel's win region) — reports a
+    # non-null pct_of_psi2_roofline against the measured dominant-op
+    # ceiling
+    ("damianou_large", 2, 256, 1, 8192, "damianou_large"),
 ]
 
 
@@ -300,6 +348,9 @@ def run_matrix(args, X, Y):
         elif kind == "damianou":
             model = build_damianou(X, Y, M=M, L=L, N=batch)
             B = None                       # full batch (no minibatching)
+        elif kind == "damianou_large":
+            model = build_damianou(X, Y, M=M, L=L, N=batch, hidden=2)
+            B = None
         elif kind == "collapsed":
             model = build_collapsed(X, Y, M=M, L=L, N=batch)
             B = None
@@ -309,11 +360,13 @@ def run_matrix(args, X, Y):
         if prec:
             model = with_config(model, precision=prec[0])
         # flops from the pytree BEFORE measure() donates its buffers
-        if kind in ("damianou", "collapsed"):
+        if kind in ("damianou", "damianou_large", "collapsed"):
             flops = collapsed_step_flops(model, M, batch)
+            psi_ideal = collapsed_psi_roofline_seconds(model, M, batch)
             mxu_bound = False
         else:
             flops = step_flops(model, M, S, B)
+            psi_ideal = None
             mxu_bound = True
         # Collapsed-family steps are sub-ms since the round-3
         # safe_cholesky custom_vjp fix; at the old inner=5 the damianou
@@ -343,12 +396,17 @@ def run_matrix(args, X, Y):
             "mfu_pct_of_achievable": (round(
                 100 * sustained / achievable_ceiling(M), 1)
                 if mxu_bound else None),
+            # ... their ceiling is the measured psi2 dominant-op rate
+            "pct_of_psi2_roofline": (round(100 * psi_ideal * rate, 1)
+                                     if psi_ideal else None),
             "final_loss": round(loss, 2),
         }
         _flag_vs_prior(row)
         rows.append(row)
         mfu_txt = (f", {100 * sustained / achievable_ceiling(M):.1f}% "
-                   f"of achievable" if mxu_bound else " (VPU-bound)")
+                   f"of achievable" if mxu_bound
+                   else f", {100 * psi_ideal * rate:.1f}% of psi2 "
+                        f"roofline" if psi_ideal else " (VPU-bound)")
         print(f"# {name}: {rate:.1f} steps/s "
               f"[{stats['steps_per_sec_min']:.1f}, "
               f"{stats['steps_per_sec_max']:.1f}], "
