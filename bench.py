@@ -277,14 +277,35 @@ def measure_stats(model, batch_size, steps, warmup=5, inner_steps=1,
     key = jax.random.PRNGKey(0)
 
     n_calls = max(1, steps // inner_steps)
+
+    # Repeat blocks re-time the SAME training segment from a snapshot
+    # (device-side copies; the jitted step donates its inputs, so the
+    # snapshot is what makes re-running possible).  Without the reset,
+    # `repeats` silently multiplied the optimization horizon — at
+    # repeats=5 the collapsed rows trained 4x past the round-3 horizon
+    # and walked into the documented f32 full-batch instability (NaN
+    # final_loss), making rows incomparable across rounds.
+    def snapshot(t):
+        return jax.tree_util.tree_map(
+            lambda a: a.copy() if hasattr(a, "copy") else a, t)
+
     for i in range(max(1, warmup // inner_steps)):
         model, opt_state, loss = step(model, opt_state,
                                       jax.random.fold_in(key, i))
     loss.block_until_ready()
+    # snapshot the POST-warmup state: every block then times the same
+    # [warmup, warmup + steps] segment, and final_loss keeps the
+    # pre-round-4 meaning (loss after warmup + steps)
+    m0, s0 = snapshot(model), snapshot(opt_state)
     rates = []
     for r in range(max(1, repeats)):
+        model, opt_state = snapshot(m0), snapshot(s0)
+        jax.block_until_ready((model, opt_state))
         t0 = time.perf_counter()
         for i in range(n_calls):
+            # keys stay unique per block (tunneled-TPU pitfall, PERF.md:
+            # identical dispatches can be served from caches) — the
+            # horizon is identical, only the MC noise differs
             model, opt_state, loss = step(
                 model, opt_state,
                 jax.random.fold_in(key, 1000 + r * n_calls + i))

@@ -21,7 +21,7 @@ import numpy as np
 from ..config import config, default_float, default_jitter
 from ..ops.linalg import (add_jitter, gauss_kl_nonwhite, gauss_kl_white,
                           inv_lower, mvn_logpdf, reparameterize,
-                          safe_cholesky, safe_cholesky_inv, tri_solve)
+                          safe_cholesky, tri_solve)
 from ..utils.modules import Module, Param, static_field
 from .mean_functions import MeanFunction, Zero
 
@@ -275,16 +275,6 @@ class SVGPLayer(Layer):
         K = self.kern.K(Z)
         return add_jitter(K, self.jitter), safe_cholesky(K, self.jitter)
 
-    def _chol_Kuu_inv(self):
-        """(Ku, Lu, Li): the Cholesky and its triangular inverse as ONE
-        fused custom_vjp region (``safe_cholesky_inv``) so the backward
-        pass is closed-form matmuls — no sequential triangular solves on
-        the autodiff path (round-3 VERDICT next #5a).  Forward bitwise
-        identical to ``inv_lower(self._chol_Kuu()[1])``."""
-        Z = self.Z.value
-        K = self.kern.K(Z)
-        Lu, Li = safe_cholesky_inv(K, self.jitter)
-        return add_jitter(K, self.jitter), Lu, Li
 
     def _SK(self, Ku):
         """q_sqrt q_sqrt^T - {I | Ku}: the (D|1, M, M) covariance core."""
@@ -379,7 +369,18 @@ class SVGPLayer(Layer):
                       if self.precision in ("mixed", "mixed_g")
                       else jax.lax.Precision.HIGH
                       if self.precision == "mixed_high" else None)
-            _, _, Li = self._chol_Kuu_inv()                    # (M, M)
+            # NOTE round-4: a fused factor+inverse custom_vjp
+            # (ops/linalg.py::safe_cholesky_inv, matmul-only backward)
+            # was wired here, measured perf-NEUTRAL at large_M (245.6
+            # vs 252.4 steps/s) with identical f32 gradient accuracy —
+            # but its ulp-level gradient differences rerolled the
+            # chaotic f32 collapsed-training trajectories (bench NaN at
+            # ~800 full-batch steps where round-3 was finite).  Zero
+            # measured win -> the wiring reverted to the r3-bitwise
+            # composition; the fused ops stay as tested infrastructure
+            # (PERF.md round-4 verdict).
+            _, Lu = self._chol_Kuu()
+            Li = inv_lower(Lu)                                 # (M, M)
             G = jnp.matmul(Li, Kuf, precision=prec_g)          # (M, B)
             if self.white:
                 alpha = self.q_mu.value                        # (M, D)
@@ -457,8 +458,9 @@ class SVGPLayer(Layer):
                     if self.precision in ("mixed", "mixed_high")
                     else _nullcontext())
         with prec_ctx:
-            Ku, _, Li = self._chol_Kuu_inv()
+            Ku, Lu = self._chol_Kuu()
             SK = self._SK(Ku)
+            Li = inv_lower(Lu)
             if self.white:
                 alpha = self.q_mu.value                        # (M, D)
                 W = SK                                         # (D|1,M,M)
@@ -728,8 +730,7 @@ class SGPRLayer(CollapsedLayer):
         batch work — so correctness wins.  LB additionally uses the
         0.0-first jitter ladder (B >= I by construction, so any failure
         is floating-point garbage; the f64 path stays bitwise exact)."""
-        from ..ops.linalg import (safe_cholesky_inv, safe_cholesky_ladder,
-                                  safe_cholesky_ladder_inv)
+        from ..ops.linalg import safe_cholesky_ladder
         from ..ops.psi_stats import psi_statistics
 
         Z = self.Z.value
@@ -738,36 +739,29 @@ class SGPRLayer(CollapsedLayer):
         sigma = jnp.sqrt(variance)
         mode = self.solve_mode
         with jax.default_matmul_precision("highest"):
-            # inverse mode: factor + triangular inverse as one fused
-            # custom_vjp region (matmul-only backward — VERDICT r3 #5a);
-            # the repeated tri_solves against L / LB then share it.
-            if mode == "inverse":
-                L, L_inv = safe_cholesky_inv(self.kern.K(Z), self.jitter)
-            else:
-                L, L_inv = safe_cholesky(self.kern.K(Z), self.jitter), None
+            # (round-4 note: a fused factor+inverse custom_vjp variant
+            # was tried here and reverted — perf-neutral, and the
+            # gradient ulp changes rerolled the chaotic f32 collapsed
+            # trajectories; see the staged-inverse conditional note and
+            # PERF.md round-4.)
+            L = safe_cholesky(self.kern.K(Z), self.jitter)
             if self._X_var is None:
                 err = self._Y - self.mean_function(self._X_mean)
                 Kuf = self.kern.K(Z, self._X_mean)
-                A = tri_solve(L, Kuf, lower=True, mode=mode,
-                              Li=L_inv) / sigma
+                A = tri_solve(L, Kuf, lower=True, mode=mode) / sigma
                 AAT = A @ A.T
                 B = AAT + jnp.eye(M, dtype=A.dtype)
-                if mode == "inverse":
-                    LB, LB_inv = safe_cholesky_ladder_inv(B)
-                else:
-                    LB, LB_inv = safe_cholesky_ladder(B), None
+                LB = safe_cholesky_ladder(B)
                 Aerr = A @ err
-                c = tri_solve(LB, Aerr, lower=True, mode=mode,
-                              Li=LB_inv) / sigma
+                c = tri_solve(LB, Aerr, lower=True, mode=mode) / sigma
                 return dict(L=L, A=A, AAT=AAT, LB=LB, c=c, err=err)
             else:
                 psi0, psi1, psi2s = psi_statistics(self.kern, self._X_mean,
                                                    self._X_var, Z)
-                A = tri_solve(L, psi1.T, lower=True, mode=mode,
-                              Li=L_inv) / sigma
-                tmp = tri_solve(L, psi2s, lower=True, mode=mode, Li=L_inv)
-                AAT = tri_solve(L, tmp.T, lower=True, mode=mode,
-                                Li=L_inv) / variance
+                A = tri_solve(L, psi1.T, lower=True, mode=mode) / sigma
+                tmp = tri_solve(L, psi2s, lower=True, mode=mode)
+                AAT = tri_solve(L, tmp.T, lower=True,
+                                mode=mode) / variance
                 # exact symmetry before the Cholesky (the two sequential
                 # solves are not numerically symmetric).  NOTE: do NOT
                 # regularize psi2 itself and refactor — a jitter eps*I on
@@ -778,12 +772,9 @@ class SGPRLayer(CollapsedLayer):
                 # grows log|B|, which lowers the bound — the safe side.
                 AAT = 0.5 * (AAT + AAT.T)
                 B = AAT + jnp.eye(M, dtype=A.dtype)
-                if mode == "inverse":
-                    LB, LB_inv = safe_cholesky_ladder_inv(B)
-                else:
-                    LB, LB_inv = safe_cholesky_ladder(B), None
+                LB = safe_cholesky_ladder(B)
                 c = tri_solve(LB, A @ self._Y, lower=True,
-                              mode=mode, Li=LB_inv) / sigma
+                              mode=mode) / sigma
                 return dict(L=L, A=A, AAT=AAT, LB=LB, c=c, psi0=psi0)
 
     def build_likelihood(self, cm=None):
