@@ -211,7 +211,8 @@ def safe_cholesky(K, jitter=None):
     return _cholesky_rungs(K, (j0, 1e2 * j0, 1e4 * j0), False)
 
 
-def safe_cholesky_ladder(K, jitters=(0.0, 1e-7, 1e-5, 1e-3, 1e-1, 1.0)):
+def safe_cholesky_ladder(K, jitters=(0.0, 1e-7, 1e-5, 1e-3, 1e-1, 1.0,
+                                     1e1, 1e3)):
     """Grad-safe Cholesky with a *relative* jitter ladder.
 
     For matrices that are PSD *by construction* (e.g. the Titsias
@@ -226,12 +227,21 @@ def safe_cholesky_ladder(K, jitters=(0.0, 1e-7, 1e-5, 1e-3, 1e-1, 1.0)):
     factorizations and the live K is factorized exactly once (same
     grad-safety argument as :func:`safe_cholesky`).
 
-    The deep top rungs (1e-1, 1.0) are the NaN net for the collapsed
+    The deep top rungs (1e-1 .. 1e3) are the NaN net for the collapsed
     bound's B = AAT + I: jitter on B only grows log|B| (and shrinks
     ||c||^2), which *lowers* the bound — the conservative, valid side —
     so a large rung beats a NaN whenever f32 garbage in AAT exceeds the
     polite jitters (measured: an indefinite psi2 at bf16-class matmul
     precision reached eigenvalue -1e4 in B; see psi_statistics).
+    Round-4 extension to 1e1/1e3: at the compute-bound damianou_large
+    config (N~7400, M=256, sigma^2=0.05, hidden width 2) the f32 psi2
+    rounding deficit (~3e-6 relative) amplified by ||Kuu^{-1}||/sigma^2
+    puts eigenvalue content ~ -5e3 in AAT — past the 1.0-relative rung
+    — and whether chol(B + mean-diag I) squeaked through became a coin
+    flip on psi2's last ulp (measured: the XLA and hybrid psi2 routes,
+    identical to 3e-6, landed on opposite sides).  The deeper rungs
+    make the net cover everything short of overflow; they cost nothing
+    until the lax.cond escalation branch actually fires.
 
     Like :func:`safe_cholesky` (round-3 perf fix), the healthy path is
     ONE factorization: the first rung runs live and the rest of the
@@ -254,7 +264,7 @@ def safe_cholesky_inv(K, jitter=None):
 
 
 def safe_cholesky_ladder_inv(K, jitters=(0.0, 1e-7, 1e-5, 1e-3, 1e-1,
-                                         1.0)):
+                                         1.0, 1e1, 1e3)):
     """``(safe_cholesky_ladder(K), inv_lower(L))`` as one custom_vjp
     region — the fused variant of :func:`safe_cholesky_ladder` for the
     collapsed bound's B factorization in inverse solve mode (same

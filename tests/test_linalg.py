@@ -338,3 +338,34 @@ def test_tri_solve_precomputed_inverse():
         np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))
     with pytest.raises(ValueError, match="lower=True"):
         tri_solve(L, Rhs, lower=False, mode="inverse", Li=Li)
+
+
+def test_safe_cholesky_ladder_deep_rungs_cover_large_indefiniteness():
+    """Round-4 net extension: garbage beyond the 1.0-relative rung (the
+    measured f32 psi2-deficit amplification at damianou_large scale put
+    eigenvalue ~ -5e3 into AAT) must still factor finite with finite
+    grads — rungs 1e1/1e3 cover everything short of overflow."""
+    from doubly_stochastic_dgp_tpu.ops.linalg import (
+        safe_cholesky_ladder, safe_cholesky_ladder_inv)
+
+    rng = np.random.RandomState(7)
+    A = rng.randn(6, 6)
+    K0 = A @ A.T + np.eye(6)
+    w, V = np.linalg.eigh(K0)
+    w[0] = -3.0 * np.mean(np.diag(K0))       # far beyond the 1.0 rung
+    K = jnp.asarray(V @ np.diag(w) @ V.T)
+    assert np.any(np.isnan(np.asarray(jnp.linalg.cholesky(K))))
+
+    def f(K):
+        L = safe_cholesky_ladder(K)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(L)
+
+    v, g = jax.value_and_grad(f)(K)
+    assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
+
+    def fi(K):
+        L, Li = safe_cholesky_ladder_inv(K)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(Li)
+
+    v, g = jax.value_and_grad(fi)(K)
+    assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
