@@ -154,6 +154,11 @@ SLOW_TESTS = {
     # forward, the solve-free jaxpr pin, and the tri_solve(Li=) oracle
     "test_linalg.py::test_safe_cholesky_inv_grad_matches_unfused",
     "test_linalg.py::test_safe_cholesky_ladder_inv_escalates_with_finite_grads",
+    # (the fused-chol ops are unwired infrastructure since the round-4
+    # revert — their remaining fast-tier presence is the solve-free
+    # jaxpr pin; the bitwise-fwd and tri_solve(Li=) oracles ride slow)
+    "test_linalg.py::test_safe_cholesky_inv_forward_bitwise_vs_unfused",
+    "test_linalg.py::test_tri_solve_precomputed_inverse",
     # round-4: hybrid psi2 kernel — fast tier keeps the forward parity
     # oracle + the pure-python route/supported gates
     "test_pallas_psi2.py::test_gradients_match_reference_all_operands",
