@@ -165,6 +165,7 @@ SLOW_TESTS = {
     "test_pallas_psi2.py::test_clamp_gate_zeroes_quadratic_gradients_but_not_logdet",
     "test_pallas_psi2.py::test_psi2_kernel_path_matches_xla_path",
     "test_pallas_psi2.py::test_psi2_kernel_path_sum_kernel_cross_terms",
+    "test_pallas_psi2.py::test_damianou_trains_finite_under_kernel_route",
 }
 
 

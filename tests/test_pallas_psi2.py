@@ -183,3 +183,38 @@ def test_psi2_kernel_path_sum_kernel_cross_terms():
     scale = float(jnp.max(jnp.abs(p2x)))
     assert_allclose(np.asarray(p2p), np.asarray(p2x),
                     rtol=0, atol=3e-6 * scale)
+
+
+def test_damianou_trains_finite_under_kernel_route():
+    """Integration net for the round-4 NaN class: a small Damianou
+    stack whose psi layer routes through the hybrid kernel (forced,
+    interpret mode) must train finite — the original failure was psi2
+    ulps flipping chol(B) past the ladder's old top rung (see
+    safe_cholesky_ladder's round-4 note), i.e. an interaction only a
+    training run exercises."""
+    import optax
+    import doubly_stochastic_dgp_tpu as dsd
+    from doubly_stochastic_dgp_tpu.config import temp_config
+    from doubly_stochastic_dgp_tpu.training.loop import (
+        make_sgd_train_step)
+    from doubly_stochastic_dgp_tpu.training.optim import masked_optimizer
+
+    rng = np.random.RandomState(0)
+    Xd = rng.randn(48, 3).astype("float32")
+    Yd = np.sin(Xd[:, :1]) + 0.05 * rng.randn(48, 1).astype("float32")
+    Z = Xd[:12].copy()
+    with temp_config(float_dtype="float32", solve_mode="inverse",
+                     jitter=1e-5, psi2_impl="pallas"):
+        kerns = [dsd.RBF.make(3), dsd.RBF.make(2)]
+        model = dsd.DGPDamianou.build(Xd, Yd, Z, kerns,
+                                      dsd.Gaussian.make(0.05))
+        tx = masked_optimizer(optax.adam(0.01), model)
+        st = tx.init(model)
+        step = make_sgd_train_step(tx, batch_size=None)
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for i in range(10):
+            model, st, loss = step(model, st, jax.random.fold_in(key, i))
+            losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0]
