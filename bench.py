@@ -422,7 +422,7 @@ def run_matrix(args, X, Y):
                                      if psi_ideal else None),
             "final_loss": round(loss, 2),
         }
-        _flag_vs_prior(row)
+        _flag_vs_prior(row, dispatch_ms=1e3 * inner / max(rate, 1e-9))
         rows.append(row)
         mfu_txt = (f", {100 * sustained / achievable_ceiling(M):.1f}% "
                    f"of achievable" if mxu_bound
@@ -472,11 +472,16 @@ def _prior_bench_rows():
 _PRIOR_ROWS, _PRIOR_FILE = None, None
 
 
-def _flag_vs_prior(row):
+def _flag_vs_prior(row, dispatch_ms=None):
     """Annotate a freshly measured row with the prior round's number and
     a regression flag when the new spread interval sits clearly below
-    it (beyond spread + a 10% dispatch-noise floor — matrix rows at
-    these shapes see ±10-30% tunnel noise, PERF.md)."""
+    it (beyond spread + a noise floor).  The floor is 10% for
+    compute-bound rows; rows whose per-dispatch device work is under
+    ~100 ms are dominated by tunnel RTT and show ±35-45% *cross-run*
+    variance that within-run spread cannot see (mnist_dgp2 measured
+    455-1328 steps/s across quiet/contended sessions, PERF.md) — their
+    floor is 45%, so the flag only fires on changes the measurement can
+    actually distinguish."""
     global _PRIOR_ROWS, _PRIOR_FILE
     if _PRIOR_ROWS is None:
         _PRIOR_ROWS, _PRIOR_FILE = _prior_bench_rows()
@@ -486,7 +491,9 @@ def _flag_vs_prior(row):
     if "steps_per_sec" in row and "steps_per_sec" in prior:
         prev = prior["steps_per_sec"]
         row["prior_steps_per_sec"] = prev
-        tol = max(row.get("spread_pct", 0.0) / 100.0, 0.10)
+        floor = (0.45 if dispatch_ms is not None and dispatch_ms < 100
+                 else 0.10)
+        tol = max(row.get("spread_pct", 0.0) / 100.0, floor)
         row["regressed_vs_prior"] = bool(
             row.get("steps_per_sec_max", row["steps_per_sec"])
             < prev * (1.0 - tol))
