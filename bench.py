@@ -207,9 +207,14 @@ def collapsed_psi_roofline_seconds(model, M, N):
     layers of N*M^2 elements at the route's ceiling rate.  The bench
     reports pct_of_psi2_roofline = ideal / measured — a real
     utilization fraction for the VPU/HBM-bound collapsed rows
-    (round-3 VERDICT next #1)."""
-    from doubly_stochastic_dgp_tpu.ops.pallas.psi2 import (
-        PSI2_KERNEL_MAX_D)
+    (round-3 VERDICT next #1).
+
+    The per-layer ceiling follows the ACTUAL route the layer's psi2
+    will take (ops/psi_stats.py::_psi2_route: config.psi2_impl +
+    backend + the kernel's shape/dtype/profitability gates) — not D
+    alone, so an f64 run, an M > 512 row, or a forced psi2_impl='xla'
+    is scored against the XLA ceiling it actually runs at."""
+    from doubly_stochastic_dgp_tpu.ops.psi_stats import _psi2_route
 
     dims = []
     if hasattr(model, "h_mean") and model.h_mean:        # DGPDamianou
@@ -218,7 +223,8 @@ def collapsed_psi_roofline_seconds(model, M, N):
         dims = [model.layers[-1].kern.input_dim]
     total = 0.0
     for d in dims:
-        rate = (PSI2_FWDBWD_ELEM_RATE_HYBRID if d <= PSI2_KERNEL_MAX_D
+        route, _ = _psi2_route(N, M, d, model.X_data.dtype)
+        rate = (PSI2_FWDBWD_ELEM_RATE_HYBRID if route == "pallas"
                 else PSI2_FWDBWD_ELEM_RATE_XLA)
         total += N * M * M / rate
     return total
@@ -250,8 +256,41 @@ def achievable_ceiling(M):
     return F32_MATMUL_CEILING * (M / Mp) ** 2
 
 
+def _rtt_probe_ms(n=5):
+    """Median host<->device round trip of a minimal unique dispatch +
+    scalar readback — the host-congestion sentinel (round-4 VERDICT
+    next #1b).  Unique inputs per call (the tunneled-TPU dispatch-cache
+    pitfall, utils/timing.py); the probe program is one scalar add, so
+    anything above the quiet-host band is host/tunnel congestion, not
+    compute."""
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    float(f(jnp.float32(-1.0)))          # compile + warm
+    ts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        float(f(jnp.float32(i)))
+        ts.append(time.perf_counter() - t0)
+    return 1e3 * statistics.median(ts)
+
+
+# Quiet-host band for the RTT probe.  Calibrated on the v5e tunnel:
+# quiet sessions sit at ~1.5-2.5 ms/dispatch (the serving rows' 2.0-2.4
+# ms floor is this RTT); the round-4 congested session (a CPU test
+# suite sharing the host) pushed per-dispatch cost to 6.5-7 ms.  A row
+# whose before/after probe exceeds the threshold is re-run once and, if
+# still hot, annotated congested=true with its regression flag
+# suppressed (null) — the committed artifact then carries the
+# machine-checkable tiebreaker the round-4 record lacked.
+CONGESTED_RTT_MS = 4.5
+
+
 def measure_stats(model, batch_size, steps, warmup=5, inner_steps=1,
-                  repeats=3):
+                  repeats=3, reject_nonfinite=False):
     """Train-step throughput with round-over-round comparability
     (round-3 VERDICT weak #1): the timed section runs ``repeats``
     independent blocks and reports {median, min, max, spread_pct} of
@@ -269,9 +308,14 @@ def measure_stats(model, batch_size, steps, warmup=5, inner_steps=1,
 
     tx = masked_optimizer(optax.adam(0.01), model)
     opt_state = tx.init(model)
-    if inner_steps > 1:
+    if inner_steps > 1 or reject_nonfinite:
+        # the collapsed rows run guarded (reject-nonfinite rollback,
+        # training/loop.py): the f32 full-batch trajectory is on record
+        # NaN'ing from ulp-level rerolls (PERF.md round-4) — a guarded
+        # row cannot end in a NaN final_loss
         step = make_scan_train_step(tx, batch_size=batch_size,
-                                    inner_steps=inner_steps)
+                                    inner_steps=inner_steps,
+                                    reject_nonfinite=reject_nonfinite)
     else:
         step = make_sgd_train_step(tx, batch_size=batch_size)
     key = jax.random.PRNGKey(0)
@@ -298,6 +342,7 @@ def measure_stats(model, batch_size, steps, warmup=5, inner_steps=1,
     # pre-round-4 meaning (loss after warmup + steps)
     m0, s0 = snapshot(model), snapshot(opt_state)
     rates = []
+    disp = []
     for r in range(max(1, repeats)):
         model, opt_state = snapshot(m0), snapshot(s0)
         jax.block_until_ready((model, opt_state))
@@ -312,6 +357,7 @@ def measure_stats(model, batch_size, steps, warmup=5, inner_steps=1,
         loss.block_until_ready()
         dt = time.perf_counter() - t0
         rates.append(n_calls * inner_steps / dt)
+        disp.append(dt / n_calls)
     med = statistics.median(rates)
     stats = {
         "steps_per_sec": med,
@@ -320,6 +366,10 @@ def measure_stats(model, batch_size, steps, warmup=5, inner_steps=1,
         "spread_pct": (100.0 * (max(rates) - min(rates)) / med
                        if med else 0.0),
         "repeats": len(rates),
+        # best observed seconds per XLA dispatch — the device-rate
+        # estimator's input (round-4 VERDICT next #2): device time per
+        # step ~= (sec_per_dispatch_best - dispatch RTT) / inner_steps
+        "sec_per_dispatch_best": min(disp),
     }
     return stats, float(loss), model
 
@@ -356,52 +406,86 @@ MATRIX = [
 ]
 
 
-def run_matrix(args, X, Y):
+def _build_row_model(spec, X, Y):
     from doubly_stochastic_dgp_tpu import with_config
+    name, L, M, S, batch, kind, *prec = spec
+    if kind == "mnist":
+        model = build_mnist_shape(M=M)
+        B = min(batch, 6000)
+    elif kind == "damianou":
+        model = build_damianou(X, Y, M=M, L=L, N=batch)
+        B = None                       # full batch (no minibatching)
+    elif kind == "damianou_large":
+        model = build_damianou(X, Y, M=M, L=L, N=batch, hidden=2)
+        B = None
+    elif kind == "collapsed":
+        model = build_collapsed(X, Y, M=M, L=L, N=batch)
+        B = None
+    else:
+        model = build_regression(X, Y, L, M, S)
+        B = min(batch, X.shape[0])
+    if prec:
+        model = with_config(model, precision=prec[0])
+    return model, B
+
+
+def run_matrix(args, X, Y):
     rows = []
     only = getattr(args, "only", None)
-    for name, L, M, S, batch, kind, *prec in MATRIX:
+    for spec in MATRIX:
+        name, L, M, S, batch, kind, *prec = spec
         if only and not re.search(only, name):
             continue
-        if kind == "mnist":
-            model = build_mnist_shape(M=M)
-            B = min(batch, 6000)
-        elif kind == "damianou":
-            model = build_damianou(X, Y, M=M, L=L, N=batch)
-            B = None                       # full batch (no minibatching)
-        elif kind == "damianou_large":
-            model = build_damianou(X, Y, M=M, L=L, N=batch, hidden=2)
-            B = None
-        elif kind == "collapsed":
-            model = build_collapsed(X, Y, M=M, L=L, N=batch)
-            B = None
-        else:
-            model = build_regression(X, Y, L, M, S)
-            B = min(batch, X.shape[0])
-        if prec:
-            model = with_config(model, precision=prec[0])
-        # flops from the pytree BEFORE measure() donates its buffers
-        if kind in ("damianou", "damianou_large", "collapsed"):
-            flops = collapsed_step_flops(model, M, batch)
-            psi_ideal = collapsed_psi_roofline_seconds(model, M, batch)
-            mxu_bound = False
-        else:
-            flops = step_flops(model, M, S, B)
-            psi_ideal = None
-            mxu_bound = True
         # Collapsed-family steps are sub-ms since the round-3
         # safe_cholesky custom_vjp fix; at the old inner=5 the damianou
         # row read the dispatch RTT, not compute (measured 398 vs 3735
         # steps/s across sessions = tunnel noise, PERF.md round-3).
         # Full batch + tiny step -> amortize hard, like the headline.
+        mxu_bound = kind not in ("damianou", "damianou_large",
+                                 "collapsed")
         steps = args.matrix_steps if mxu_bound else args.matrix_steps * 3
         inner = (args.matrix_inner_steps if mxu_bound
                  else max(args.matrix_inner_steps, 50))
-        stats, loss, _ = measure_stats(model, B, max(steps, inner),
-                                       inner_steps=inner,
-                                       repeats=getattr(args, "repeats", 3))
+
+        # congestion sentinel: probe the dispatch RTT before and after
+        # the timed blocks; a congested row is re-run once (fresh
+        # model — measure donates its buffers) and, if still hot,
+        # shipped annotated with its regression flag suppressed
+        rtt0 = _rtt_probe_ms()
+        for attempt in range(2):
+            model, B = _build_row_model(spec, X, Y)
+            # flops from the pytree BEFORE measure() donates buffers
+            if not mxu_bound:
+                flops = collapsed_step_flops(model, M, batch)
+                psi_ideal = collapsed_psi_roofline_seconds(model, M,
+                                                           batch)
+            else:
+                flops = step_flops(model, M, S, B)
+                psi_ideal = None
+            stats, loss, _ = measure_stats(
+                model, B, max(steps, inner), inner_steps=inner,
+                repeats=getattr(args, "repeats", 3),
+                reject_nonfinite=not mxu_bound)
+            rtt1 = _rtt_probe_ms()
+            congested = max(rtt0, rtt1) > CONGESTED_RTT_MS
+            if not congested:
+                break
+            print(f"# {name}: congested host (rtt {rtt0:.1f}/"
+                  f"{rtt1:.1f} ms){' — re-running' if attempt == 0 else ''}",
+                  file=sys.stderr, flush=True)
+            rtt0 = rtt1
         rate = stats["steps_per_sec"]
         sustained = flops * rate
+        # pure device time per step: best dispatch minus the probe's
+        # round trip, amortized over the scan length — the
+        # regression-flag basis for every row (round-4 VERDICT next
+        # #2: request-rate flags needed a 45% floor to absorb tunnel
+        # noise, which hid real regressions; the device rate is what
+        # the hardware actually did)
+        rtt_ms = min(rtt0, rtt1)
+        dev_sec = max(stats["sec_per_dispatch_best"] - rtt_ms / 1e3,
+                      1e-9) / inner
+        dev_rate = 1.0 / dev_sec
         row = {
             "name": name, "layers": L, "M": M, "S": S,
             **({"precision": prec[0]} if prec else {}),
@@ -409,6 +493,9 @@ def run_matrix(args, X, Y):
             "steps_per_sec": round(rate, 2),
             "steps_per_sec_min": round(stats["steps_per_sec_min"], 2),
             "steps_per_sec_max": round(stats["steps_per_sec_max"], 2),
+            "device_steps_per_sec": round(dev_rate, 2),
+            "rtt_ms": round(rtt_ms, 2),
+            "congested": congested,
             "spread_pct": round(stats["spread_pct"], 1),
             "repeats": stats["repeats"],
             "flops_per_step": float(f"{flops:.3g}"),
@@ -430,19 +517,36 @@ def run_matrix(args, X, Y):
                         f"roofline" if psi_ideal else " (VPU-bound)")
         print(f"# {name}: {rate:.1f} steps/s "
               f"[{stats['steps_per_sec_min']:.1f}, "
-              f"{stats['steps_per_sec_max']:.1f}], "
+              f"{stats['steps_per_sec_max']:.1f}] "
+              f"(device {dev_rate:.1f}), "
               f"{sustained / 1e12:.1f} TFLOP/s{mfu_txt}",
               file=sys.stderr, flush=True)
     return rows
 
 
-def _prior_bench_rows():
-    """Matrix/serving rows of the newest committed BENCH_r*.json, keyed
+def _prior_bench_rows(root=None):
+    """Matrix/serving rows of the newest committed bench record, keyed
     by row name — the round-over-round comparability anchor (round-3
-    VERDICT weak #1)."""
+    VERDICT weak #1).  Preference order: the committed BENCH_FULL.json
+    (the full record bench.py writes since round 5 — the driver's
+    BENCH_r*.json tail capture truncated the r3/r4 records), then the
+    newest BENCH_r*.json with per-row recovery from its (possibly
+    front-truncated) tail."""
     import glob
-    files = sorted(glob.glob(os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "BENCH_r*.json")))
+    here = root or os.path.dirname(os.path.abspath(__file__))
+    full = os.path.join(here, "BENCH_FULL.json")
+    if os.path.exists(full):
+        try:
+            with open(full) as f:
+                rec = json.load(f)
+            rows = {}
+            for r in rec.get("matrix", []) + rec.get("serving", []):
+                rows[r["name"]] = r
+            if rows:
+                return rows, "BENCH_FULL.json"
+        except Exception:
+            pass
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     if not files:
         return {}, None
     try:
@@ -472,25 +576,47 @@ def _prior_bench_rows():
 _PRIOR_ROWS, _PRIOR_FILE = None, None
 
 
-def _flag_vs_prior(row, dispatch_ms=None):
-    """Annotate a freshly measured row with the prior round's number and
-    a regression flag when the new spread interval sits clearly below
-    it (beyond spread + a noise floor).  The floor is 10% for
-    compute-bound rows; rows whose per-dispatch device work is under
-    ~100 ms are dominated by tunnel RTT and show ±35-45% *cross-run*
-    variance that within-run spread cannot see (mnist_dgp2 measured
-    455-1328 steps/s across quiet/contended sessions, PERF.md) — their
-    floor is 45%, so the flag only fires on changes the measurement can
-    actually distinguish."""
+def _load_priors():
+    """Eagerly load the prior-round rows (called at the top of main(),
+    BEFORE any measurement — this process later overwrites
+    BENCH_FULL.json, so the anchor must be captured first)."""
     global _PRIOR_ROWS, _PRIOR_FILE
     if _PRIOR_ROWS is None:
         _PRIOR_ROWS, _PRIOR_FILE = _prior_bench_rows()
+    return _PRIOR_ROWS
+
+
+def _flag_vs_prior(row, dispatch_ms=None):
+    """Annotate a freshly measured row with the prior round's number and
+    a regression flag.
+
+    Flag basis (round-4 VERDICT next #2): when both rounds carry a
+    ``device_steps_per_sec`` (RTT-corrected pure device rate), compare
+    THOSE with a tight 12% floor — device time doesn't see tunnel/host
+    congestion, so the old 45% dispatch-bound floor (which let 6 of 9
+    rows lose 45% silently) is retired on that path.  Against a
+    pre-round-5 prior (request rates only) the legacy request-rate rule
+    applies once more: 10% floor compute-bound, 45% for rows whose
+    per-dispatch work is under ~100 ms (mnist_dgp2 measured 455-1328
+    steps/s across quiet/contended sessions, PERF.md).  A row measured
+    on a congested host (sentinel) gets ``regressed_vs_prior: null`` —
+    explicitly indeterminate rather than silently wrong."""
+    _load_priors()
     prior = _PRIOR_ROWS.get(row["name"])
     if not prior:
         return
     if "steps_per_sec" in row and "steps_per_sec" in prior:
         prev = prior["steps_per_sec"]
         row["prior_steps_per_sec"] = prev
+        if row.get("congested"):
+            row["regressed_vs_prior"] = None
+            return
+        prev_dev = prior.get("device_steps_per_sec")
+        if prev_dev and row.get("device_steps_per_sec"):
+            row["prior_device_steps_per_sec"] = prev_dev
+            row["regressed_vs_prior"] = bool(
+                row["device_steps_per_sec"] < prev_dev * (1.0 - 0.12))
+            return
         floor = (0.45 if dispatch_ms is not None and dispatch_ms < 100
                  else 0.10)
         tol = max(row.get("spread_pct", 0.0) / 100.0, floor)
@@ -502,6 +628,9 @@ def _flag_vs_prior(row, dispatch_ms=None):
         # block is slower than the prior round beyond tolerance, flag.
         prev = prior["latency_ms"]
         row["prior_latency_ms"] = prev
+        if row.get("congested"):
+            row["regressed_vs_prior"] = None
+            return
         tol = max(row.get("spread_pct", 0.0) / 100.0, 0.10)
         row["regressed_vs_prior"] = bool(
             row["latency_ms"] > prev * (1.0 + tol))
@@ -539,25 +668,47 @@ def run_serving(args, X, Y):
     # Cached-posterior serving (models/posterior.py): staging factors
     # (Lu^{-1}, alpha, C) precomputed once, so the per-request program
     # is gram + MXU matmuls only — no Cholesky/inverse per call.
-    from doubly_stochastic_dgp_tpu import precompute
+    from doubly_stochastic_dgp_tpu import make_server, precompute
     post = precompute(model)
     pyc = jax.jit(lambda m, x, k: m.predict_y(x, SERVING_S, key=k))
+
+    # The production form (round-4 PERF.md serving verdict, shipped as
+    # serving.make_server): cached factors baked into the program as
+    # closure-jit constants — no per-request model-pytree leaf handling.
+    server = make_server(model, SERVING_S)
 
     rows = []
     for name, fn, fnargs in [
             ("serve_predict_y", py, (model, Xs)),
             ("serve_predict_y_cached", pyc, (post, Xs)),
+            ("serve_predict_y_server", server, (Xs,)),
             ("serve_predict_density", pd, (model, Xs, Ys))]:
-        stats = timed_per_call_stats(
-            lambda i, fn=fn, fnargs=fnargs:
-                fn(*fnargs, jax.random.fold_in(key, 1 + i)),
-            repeats=getattr(args, "repeats", 3))
+        for attempt in range(2):
+            rtt0 = _rtt_probe_ms()
+            if name == "serve_predict_y_server":
+                call = (lambda i, fn=fn, fnargs=fnargs:
+                        fn(*fnargs, key=jax.random.fold_in(key, 1 + i)))
+            else:
+                call = (lambda i, fn=fn, fnargs=fnargs:
+                        fn(*fnargs, jax.random.fold_in(key, 1 + i)))
+            stats = timed_per_call_stats(
+                call, repeats=getattr(args, "repeats", 3))
+            rtt1 = _rtt_probe_ms()
+            congested = max(rtt0, rtt1) > CONGESTED_RTT_MS
+            if not congested:
+                break
+            print(f"# {name}: congested host (rtt {rtt0:.1f}/"
+                  f"{rtt1:.1f} ms)"
+                  f"{' — re-running' if attempt == 0 else ''}",
+                  file=sys.stderr, flush=True)
         best = stats["best"]
         row = {
             "name": name, "batch": B, "S": SERVING_S,
             "latency_ms": round(best * 1e3, 2),
             "latency_ms_median": round(stats["median"] * 1e3, 2),
             "latency_ms_max": round(stats["max"] * 1e3, 2),
+            "rtt_ms": round(min(rtt0, rtt1), 2),
+            "congested": congested,
             "spread_pct": round(stats["spread_pct"], 1),
             "repeats": stats["repeats"],
             "points_per_sec": round(B / best, 1),
@@ -569,6 +720,70 @@ def run_serving(args, X, Y):
               f"max {stats['max'] * 1e3:.2f}], "
               f"{B / best:.0f} points/s", file=sys.stderr, flush=True)
     return rows
+
+
+def _compact_record(out):
+    """One-line summary of the full record, guaranteed to fit the
+    driver's 2000-char stdout-tail capture (round-4 VERDICT next #1:
+    BENCH_r03/r04 had ``parsed: null`` because the full record outgrew
+    the tail).  Keeps the driver contract fields (metric/value/unit/
+    vs_baseline) and compresses each matrix/serving row to its
+    essentials; the complete record is in BENCH_FULL.json (committed)
+    and on stderr."""
+    c = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "vs_baseline": out["vs_baseline"],
+        "platform": out.get("platform"),
+        "precision": out.get("precision"),
+        "congested": out.get("congested"),
+        "mfu_pct": out.get("mfu_pct_of_achievable"),
+        "throughput_mode_sps": out.get("throughput_mode", {}).get(
+            "steps_per_sec"),
+        "full_record": "BENCH_FULL.json",
+    }
+    if "matrix" in out:
+        c["matrix"] = {
+            r["name"]: {
+                "sps": r["steps_per_sec"],
+                "dev": r.get("device_steps_per_sec"),
+                "pct": (r.get("mfu_pct_of_achievable")
+                        if r.get("mfu_pct_of_achievable") is not None
+                        else r.get("pct_of_psi2_roofline")),
+                "reg": r.get("regressed_vs_prior"),
+                **({"hot": True} if r.get("congested") else {}),
+            }
+            for r in out["matrix"]}
+    if "serving" in out:
+        c["serving"] = {
+            r["name"]: {
+                "ms": r["latency_ms"],
+                "reg": r.get("regressed_vs_prior"),
+                **({"hot": True} if r.get("congested") else {}),
+            }
+            for r in out["serving"]}
+    return c
+
+
+def _emit(out):
+    """Full record -> BENCH_FULL.json + stderr; compact one-liner ->
+    stdout (the ONLY stdout line, so the driver tail always parses)."""
+    full = json.dumps(out)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_FULL.json")
+    try:
+        with open(path, "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        pass
+    print(full, file=sys.stderr, flush=True)
+    line = json.dumps(_compact_record(out), separators=(",", ":"))
+    if len(line) > 1900:     # belt and braces: never outgrow the tail
+        line = json.dumps({k: v for k, v in _compact_record(out).items()
+                           if k not in ("matrix", "serving")},
+                          separators=(",", ":"))
+    print(line, flush=True)
 
 
 def main():
@@ -603,14 +818,20 @@ def main():
     from doubly_stochastic_dgp_tpu.config import config
     _enable_compile_cache()
     _set_numerics(args)
+    _load_priors()           # BEFORE this run overwrites BENCH_FULL.json
     X, Y, real = _regression_data()
     platform = jax.devices()[0].platform
 
     if args.only:
-        print(json.dumps({"platform": platform,
-                          "matrix": run_matrix(args, X, Y)}))
+        out = {"platform": platform, "matrix": run_matrix(args, X, Y)}
+        print(json.dumps(out), file=sys.stderr, flush=True)
+        print(json.dumps(_compact_record(
+            {"metric": "matrix_only", "value": None, "unit": None,
+             "vs_baseline": None, "platform": platform,
+             "matrix": out["matrix"]}), separators=(",", ":")))
         return
 
+    rtt_headline = _rtt_probe_ms()
     model = build_regression(X, Y, args.layers, 100, args.num_samples)
     # flops from the pytree BEFORE measure() donates its buffers
     flops = step_flops(model, 100, args.num_samples, args.batch)
@@ -643,6 +864,10 @@ def main():
                                      max(10, args.steps // 10),
                                      inner_steps=args.inner_steps)
 
+    rtt_after = _rtt_probe_ms()
+    rtt_ms = min(rtt_headline, rtt_after)
+    dev_rate = args.inner_steps / max(
+        hstats["sec_per_dispatch_best"] - rtt_ms / 1e3, 1e-9)
     out = {
         "metric": "elbo_steps_per_sec (kin8nm-shape, 5-layer DGP, "
                   "M=100, S=10, batch=1000)",
@@ -650,6 +875,10 @@ def main():
         "unit": "steps/sec",
         "steps_per_sec_min": round(hstats["steps_per_sec_min"], 3),
         "steps_per_sec_max": round(hstats["steps_per_sec_max"], 3),
+        "device_steps_per_sec": round(dev_rate, 3),
+        "rtt_ms": round(rtt_ms, 2),
+        "congested": bool(max(rtt_headline, rtt_after)
+                          > CONGESTED_RTT_MS),
         "spread_pct": round(hstats["spread_pct"], 1),
         "vs_baseline": round(rate / baseline, 3),
         "platform": platform,
@@ -669,7 +898,7 @@ def main():
     if not args.no_matrix:
         out["matrix"] = run_matrix(args, X, Y)
         out["serving"] = run_serving(args, X, Y)
-    print(json.dumps(out))
+    _emit(out)
 
 
 if __name__ == "__main__":

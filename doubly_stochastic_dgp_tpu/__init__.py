@@ -33,6 +33,7 @@ from .models.posterior import CachedSVGPLayer, precompute
 from .models.single_layer import GPR, GPRFITC, SGPR, SVGP
 from .models.zoo import DGPCollapsed, DGPHeinonen, DGPHeteroscedastic
 from .models.damianou import DGPDamianou
+from .serving import make_server
 from .utils.modules import (Module, Param, log_prior, summary,
                             trainable_mask, with_config)
 

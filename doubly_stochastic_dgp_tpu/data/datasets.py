@@ -99,18 +99,6 @@ class Dataset:
         return d
 
 
-def _simple_uci(name, N, D, url):
-    """Datasets whose raw file is directly a delimited table with the
-    target in the last column after column selection."""
-
-    class _D(Dataset):
-        pass
-
-    _D.__name__ = name.capitalize()
-    _D.name, _D.N, _D.D, _D.url = name, N, D, url
-    return _D
-
-
 class Boston(Dataset):
     name, N, D = "boston", 506, 12
     url = _UCI_BASE + "housing/housing.data"

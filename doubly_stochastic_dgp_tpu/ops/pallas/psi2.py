@@ -102,7 +102,12 @@ def _bwd_kernel(U_ref, V_ref, w_ref, logdet_ref, Z_ref, g_ref,
                 + logdet_ref[:][:, :, None])
     ge = g[None, :, :] * e                        # (BN, M, M)
     # min-clamp gate: inactive (pre >= 0) elements contribute to
-    # glogdet but not to the quadratic-side gradients
+    # glogdet but not to the quadratic-side gradients.  Tie convention
+    # at exact pre == 0: this gate routes the whole cotangent to the
+    # clamp (gradient 0), while jnp.minimum's VJP on the XLA/reference
+    # route splits it 50/50 — a measure-zero discrepancy (clean-data
+    # psi2 sits strictly below 0 except the exact diagonal-at-mu==z
+    # case), accepted for the branch-free kernel form.
     P = jnp.where(pre < 0.0, ge, 0.0)
     gU_ref[:] = jnp.sum(P, axis=2)
     gV_ref[:] = jnp.sum(P, axis=1)
@@ -122,6 +127,67 @@ def _bwd_kernel(U_ref, V_ref, w_ref, logdet_ref, Z_ref, g_ref,
                                 axis=0)[:, None])          # (M, 1)
     gw_ref[:] = jnp.concatenate(gw_cols, axis=1)
     gZ_ref[:, :] += jnp.concatenate(gz_cols, axis=1)
+
+
+def _bwd_kernel_mxu(U_ref, V_ref, w_ref, logdet_ref, Z_ref, g_ref,
+                    gU_ref, gV_ref, gw_ref, glogdet_ref, gZ_ref):
+    """MXU-contraction backward (round-4 VERDICT next #3): the VPU
+    variant's per-d unrolled chains cost ~(19 + 6(D-1)) ops/element,
+    which loses to XLA at D >= 4.  Here every d-contraction other than
+    the (unavoidable) ``pre`` recompute is one MXU matmul at HIGHEST
+    precision, making the op count ~(11 + 2D) — D-dependent only
+    through the 2-ops/element recompute chain:
+
+      S_a[(n,a), d] = sum_b P[n,a,b] Z[b,d]          (K=M dot)
+        -> gw[n,d]  = -sum_a S_a Z[a,d]              (tiny VPU reduce)
+        -> r1[a,d]  = -sum_n w[n,d] S_a              (tiny VPU reduce)
+      r2[b,d] = -sum_{(n,a)} P[(n,a), b] w[n,d] Z[a,d]
+              = -(P_flat^T @ (w x Z))                (K=BN*M dot)
+      gZ += r1 + r2   (accumulated across grid steps)
+
+    The (BN, M, M) block is only ever reshaped by collapsing LEADING
+    dims ((BN, M, M) -> (BN*M, M)) — the minormost (lane) dim is
+    untouched, the reshape Mosaic supports."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        gZ_ref[:] = jnp.zeros_like(gZ_ref)
+
+    U = U_ref[:]
+    V = V_ref[:]
+    w = w_ref[:]
+    Z = Z_ref[:]
+    g = g_ref[:]                                  # (M, M)
+    BN, M = U.shape
+    D = Z.shape[1]
+    pre = U[:, :, None] + V[:, None, :]
+    for d in range(D):
+        zd_row = Z[:, d:d + 1].T                  # (1, M)
+        pre = pre - ((w[:, d:d + 1] * zd_row)[:, :, None]
+                     * zd_row[None, :, :])
+    e = jnp.exp(jnp.minimum(pre, 0.0)
+                + logdet_ref[:][:, :, None])
+    ge = g[None, :, :] * e                        # (BN, M, M)
+    # min-clamp gate (same tie convention as the VPU kernel)
+    P = jnp.where(pre < 0.0, ge, 0.0)
+    gU_ref[:] = jnp.sum(P, axis=2)
+    gV_ref[:] = jnp.sum(P, axis=1)
+    glogdet_ref[:] = jnp.sum(jnp.sum(ge, axis=2), axis=1, keepdims=True)
+
+    hi = jax.lax.Precision.HIGHEST
+    Pf = P.reshape(BN * M, M)                     # rows (n, a), cols b
+    S_a = jax.lax.dot_general(
+        Pf, Z, (((1,), (0,)), ((), ())),
+        precision=hi, preferred_element_type=Pf.dtype)   # (BN*M, D)
+    S_a3 = S_a.reshape(BN, M, D)
+    gw_ref[:] = -jnp.sum(S_a3 * Z[None, :, :], axis=1)   # (BN, D)
+    r1 = jnp.sum(S_a3 * w[:, None, :], axis=0)           # (M, D)
+    WZ = (w[:, None, :] * Z[None, :, :]).reshape(BN * M, D)
+    r2 = jax.lax.dot_general(
+        Pf, WZ, (((0,), (0,)), ((), ())),
+        precision=hi, preferred_element_type=Pf.dtype)   # (M, D)
+    gZ_ref[:, :] += -(r1 + r2)
 
 
 def _pad_n(arrs, N, BN):
@@ -170,7 +236,15 @@ def _psi2_core_fwd_call(U, V, w, logdet, Z, interpret=False):
     )(U, V, w, logdet, Z)
 
 
-def _psi2_core_bwd_call(U, V, w, logdet, Z, g, interpret=False):
+# Backward-kernel selection threshold: the VPU kernel's unrolled per-d
+# chains win at small D; the MXU-contraction kernel (D-independent op
+# count) takes over above it.  Set from the round-5 on-chip sweep
+# (PERF.md round-5 psi2 table).
+_BWD_MXU_MIN_D = 3
+
+
+def _psi2_core_bwd_call(U, V, w, logdet, Z, g, interpret=False,
+                        bwd_impl=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -182,8 +256,11 @@ def _psi2_core_bwd_call(U, V, w, logdet, Z, g, interpret=False):
     grid = (Np // BN,)
     blk = lambda cols: pl.BlockSpec((BN, cols), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
+    if bwd_impl is None:
+        bwd_impl = "mxu" if D >= _BWD_MXU_MIN_D else "vpu"
+    kernel = _bwd_kernel_mxu if bwd_impl == "mxu" else _bwd_kernel
     gU, gV, gw, glogdet, gZ = pl.pallas_call(
-        _bwd_kernel,
+        kernel,
         grid=grid,
         in_specs=[blk(M), blk(M), blk(D), blk(1),
                   pl.BlockSpec((M, D), lambda i: (0, 0),

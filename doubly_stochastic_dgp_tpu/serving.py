@@ -22,7 +22,7 @@ import jax
 from .utils.modules import Module
 
 __all__ = ["register_module_serialization", "export_fn", "load_exported",
-           "export_predict_y"]
+           "export_predict_y", "make_server"]
 
 _registered = False
 
@@ -108,6 +108,89 @@ def load_exported(data_or_path):
             data = f.read()
     exp = export.deserialize(data)
     return exp.call
+
+
+def make_server(model, S: int, *, method: str = "predict_y",
+                precompute: bool = True, warmup_batch: Optional[int] = None,
+                key=None):
+    """Production serving callable: the measured-fastest request path
+    as a one-call API (round-4 PERF.md serving verdict).
+
+    The serving A/B record (scripts/bench_serving_ab.py, PERF.md
+    round-4) found that (a) the cached posterior's staging factors
+    (Lu^{-1}, alpha, C — models/posterior.py) remove the per-request
+    Cholesky/inverse, and (b) passing the cached model as a jit
+    *argument* pays per-request pytree leaf handling that cancels much
+    of the win — the production form is a **closure jit**: the
+    (pre-computed) model is closed over, so its factors are baked into
+    the compiled program as constants.  This helper packages that
+    pattern, plus the fresh-process LAPACK warmup serving.py already
+    applies to deserialized exports.
+
+    Parameters
+    ----------
+    model : a trained model (any model :func:`~..models.posterior.
+        precompute` accepts, or any model with ``method`` when
+        ``precompute=False``).
+    S : MC samples per request (the reference eval loop uses S=100,
+        run_regression.py:109-123).
+    method : ``'predict_y'`` (default; requests are ``serve(X)``) or
+        ``'predict_density'`` (requests are ``serve(X, Y)``).
+    precompute : map the model through the posterior cache first
+        (default True — prediction becomes gram + MXU matmuls only).
+    warmup_batch : if given, compile + execute one request of this many
+        rows before returning, so the first real request is not a
+        multi-second compile.
+    key : base PRNG key for requests that don't pass their own
+        (successive requests fold an internal counter into it, the
+        unique-dispatch discipline of utils/timing.py).
+
+    Returns a callable ``serve(X[, Y], key=None)`` returning the jitted
+    device output of ``model.<method>(X[, Y], S=S, key=key)``.
+    """
+    import itertools
+
+    import jax.numpy as jnp
+
+    from .config import default_float
+    from .utils.modules import assert_live
+
+    assert_live(model, what="model")
+    if precompute:
+        from .models.posterior import precompute as _precompute
+        model = _precompute(model)
+    _warmup_linalg_custom_calls()
+
+    needs_y = method == "predict_density"
+    bound = getattr(model, method)   # closure jit: model pytree leaves
+    # (incl. the cached staging factors) become compile-time constants
+
+    if needs_y:
+        _serve = jax.jit(lambda x, y, k: bound(x, y, S=S, key=k))
+    else:
+        _serve = jax.jit(lambda x, k: bound(x, S=S, key=k))
+
+    base_key = jax.random.PRNGKey(0) if key is None else key
+    counter = itertools.count()
+
+    def serve(X, Y=None, key=None):
+        k = (jax.random.fold_in(base_key, next(counter))
+             if key is None else key)
+        X = jnp.asarray(X, dtype=default_float())
+        if needs_y:
+            if Y is None:
+                raise ValueError("predict_density requests need Y")
+            return _serve(X, jnp.asarray(Y, dtype=default_float()), k)
+        return _serve(X, k)
+
+    if warmup_batch:
+        D = model.X_data.shape[1]
+        x0 = jnp.zeros((warmup_batch, D), dtype=default_float())
+        out = (serve(x0, jnp.zeros((warmup_batch, 1),
+                                   dtype=default_float()))
+               if needs_y else serve(x0))
+        jax.block_until_ready(out)
+    return serve
 
 
 def export_predict_y(model, batch_size: int, S: int,

@@ -95,14 +95,60 @@ def make_sgd_train_step(tx: optax.GradientTransformation,
     return step
 
 
+def _all_finite(tree):
+    """Scalar bool: every array leaf of ``tree`` is entirely finite."""
+    checks = [jnp.all(jnp.isfinite(leaf))
+              for leaf in jax.tree_util.tree_leaves(tree)]
+    out = jnp.asarray(True)
+    for c in checks:
+        out = jnp.logical_and(out, c)
+    return out
+
+
+def _tree_select(pred, a, b):
+    """Leafwise ``jnp.where(pred, a, b)`` over matching pytrees."""
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+# Trajectory-guard constants (round-4 VERDICT weak #6 / next #5): the
+# f32 full-batch collapsed objectives are one ulp from NaN at ~800
+# steps — two independent round-4 incidents re-rolled a bench
+# trajectory into NaN.  On a rejected step the trust scale halves (a
+# retried step from the rolled-back state then takes a genuinely
+# different, smaller candidate — the escape mechanism on DETERMINISTIC
+# full-batch objectives, where plain skip-and-retry would replay the
+# identical NaN forever); on an accepted step it recovers by
+# 2^(1/16) up to exactly 1.0 (min-clamped, so a never-rejected
+# trajectory applies its updates scaled by exactly 1.0 — bitwise
+# unchanged values).
+_GUARD_SCALE_MIN = 2.0 ** -12
+_GUARD_SCALE_RECOVER = 2.0 ** (1.0 / 16.0)
+
+
 def make_scan_train_step(tx: optax.GradientTransformation,
                          batch_size: Optional[int] = None,
-                         inner_steps: int = 10):
+                         inner_steps: int = 10,
+                         reject_nonfinite: bool = False):
     """Like make_sgd_train_step, but runs ``inner_steps`` optimizer steps
     inside one XLA program via lax.scan — amortizes per-dispatch host
     latency (the dominant cost at small model sizes on TPU; the
     reference pays one session.run per step, SURVEY §3.2).  Returns
-    (model, opt_state, mean_loss)."""
+    (model, opt_state, mean_loss).
+
+    ``reject_nonfinite=True`` bounds the trajectory (the natgrad
+    reject-step pattern, training/natgrad.py:92-97, lifted to the whole
+    step — round-4 VERDICT next #5): when the loss or any gradient is
+    nonfinite the step ROLLS BACK to the state before the previous
+    (accepted) update — the update that walked into the nonfinite
+    region — halves an internal trust scale, and retries from there
+    with the smaller scaled update; candidate parameters are also
+    checked so an overflowing update can never be installed.  A
+    trajectory that never goes nonfinite applies exactly the unguarded
+    update values (scale is pinned at 1.0), and the reported loss is
+    the last finite loss, so a guarded bench row cannot end in NaN.
+    Used by default for the full-batch collapsed family (``fit``'s
+    auto rule), where the instability is on record (PERF.md round-4)."""
 
     def loss_fn(model, X, Y, key):
         # MAP objective: parameter log-priors join the bound, as in
@@ -110,17 +156,76 @@ def make_scan_train_step(tx: optax.GradientTransformation,
         # unaffected: log_prior == 0)
         return -(model.elbo(X, Y, key) + log_prior(model))
 
-    def body(carry, k):
-        model, opt_state = carry
-        kb, ks = jax.random.split(k)
+    def minibatch(model, kb):
         X, Y = _stop_data_grad(model.X_data, model.Y_data)
         if batch_size is not None and batch_size < X.shape[0]:
             idx = jax.random.randint(kb, (batch_size,), 0, X.shape[0])
             X, Y = X[idx], Y[idx]
+        return X, Y
+
+    def body(carry, k):
+        model, opt_state = carry
+        kb, ks = jax.random.split(k)
+        X, Y = minibatch(model, kb)
         loss, grads = jax.value_and_grad(loss_fn)(model, X, Y, ks)
         updates, opt_state = tx.update(grads, opt_state, model)
         model = optax.apply_updates(model, updates)
         return (model, opt_state), loss
+
+    def guarded_body(carry, k):
+        model, opt_state, prev_model, prev_opt, scale, last_loss = carry
+        kb, ks = jax.random.split(k)
+        X, Y = minibatch(model, kb)
+        loss, grads = jax.value_and_grad(loss_fn)(model, X, Y, ks)
+        ok_here = jnp.logical_and(jnp.isfinite(loss), _all_finite(grads))
+        updates, new_opt = tx.update(grads, opt_state, model)
+        updates = jax.tree_util.tree_map(lambda u: scale * u, updates)
+        cand = optax.apply_updates(model, updates)
+        ok = jnp.logical_and(ok_here, _all_finite(cand))
+        # accept: advance to the candidate, remember the pre-update
+        # state; reject: roll back to the pre-update state (the last
+        # state whose loss evaluated finite) and shrink the scale
+        new_model = _tree_select(ok, cand, prev_model)
+        new_opt_state = _tree_select(ok, new_opt, prev_opt)
+        new_prev_model = _tree_select(ok, model, prev_model)
+        new_prev_opt = _tree_select(ok, opt_state, prev_opt)
+        scale = jnp.where(ok,
+                          jnp.minimum(1.0, scale * _GUARD_SCALE_RECOVER),
+                          jnp.maximum(_GUARD_SCALE_MIN, scale * 0.5))
+        loss_out = jnp.where(jnp.isfinite(loss), loss, last_loss)
+        return (new_model, new_opt_state, new_prev_model, new_prev_opt,
+                scale, loss_out), loss_out
+
+    if reject_nonfinite:
+        @partial(jax.jit, donate_argnums=_tpu_donate())
+        def step(model, opt_state, key):
+            check_minibatchable(model, batch_size)
+            keys = jax.random.split(key, inner_steps + 1)
+            dt = jnp.asarray(0.0).dtype
+            carry0 = (model, opt_state, model, opt_state,
+                      jnp.asarray(1.0, dt), jnp.asarray(jnp.nan, dt))
+            carry, losses = jax.lax.scan(guarded_body, carry0,
+                                         keys[:-1])
+            model, opt_state, prev_model, prev_opt, _, _ = carry
+            # end-of-dispatch verification (one extra forward, ~1/
+            # inner_steps overhead): the scan's rollback is one step
+            # DELAYED — the final accepted candidate has not had its
+            # loss evaluated yet, and the next dispatch re-seeds
+            # prev := model, so handing back an unverified state could
+            # strand the next dispatch on a NaN plateau it cannot roll
+            # back out of.  Verify the final state here and hand back
+            # the last verified one instead if it fails.
+            kb, ks = jax.random.split(keys[-1])
+            Xc, Yc = minibatch(model, kb)
+            ok_end = jnp.isfinite(loss_fn(model, Xc, Yc, ks))
+            model = _tree_select(ok_end, model, prev_model)
+            opt_state = _tree_select(ok_end, opt_state, prev_opt)
+            # nanmean: a dispatch can open on steps with no finite
+            # loss seen yet (last-finite fill unseeded) — report the
+            # finite losses only; NaN only if NO step evaluated finite
+            return model, opt_state, jnp.nanmean(losses)
+
+        return step
 
     @partial(jax.jit, donate_argnums=_tpu_donate())
     def step(model, opt_state, key):
@@ -216,7 +321,8 @@ def fit(model, iterations: int, learning_rate: float = 0.01,
         callbacks: Sequence = (), log_every: int = 100,
         scan_steps: Optional[int] = None,
         ckpt_dir: Optional[str] = None,
-        ckpt_every: Optional[int] = None):
+        ckpt_every: Optional[int] = None,
+        reject_nonfinite: Optional[bool] = None):
     """Train a model; returns (model, history).  ``callbacks`` are
     called as cb(step, model, loss, stats) every ``log_every`` steps
     (the gpflow_monitor task-loop analogue, run_regression.py:87-95).
@@ -229,9 +335,20 @@ def fit(model, iterations: int, learning_rate: float = 0.01,
     ``ckpt_dir``: failure recovery (the reference's StoreSession restart
     pattern, run_regression.py:93-94): (model, opt_state) are saved
     every ``ckpt_every`` (default log_every) steps, and if a checkpoint
-    already exists in the directory, training resumes from it."""
+    already exists in the directory, training resumes from it.
+
+    ``reject_nonfinite``: bound the trajectory with the rollback /
+    trust-scale guard (see :func:`make_scan_train_step`).  Default
+    ``None`` auto-enables it for full-batch-bound models (the
+    collapsed family — DGPCollapsed / DGPHeinonen / DGPDamianou /
+    GPR / SGPR / GPRFITC), whose f32 full-batch objectives are on
+    record walking into NaN at ~800 steps (PERF.md round-4); pass
+    ``False`` to force the unguarded step.  Not applied on the
+    natgrad+Adam path (natgrad has its own reject-step net)."""
     assert_live(model)
     check_minibatchable(model, batch_size)
+    if reject_nonfinite is None:
+        reject_nonfinite = bool(getattr(model, "full_batch_bound", False))
     if scan_steps is None:
         scan_steps = max(1, min(10, log_every))
     chunk = max(1, scan_steps)
@@ -245,9 +362,10 @@ def fit(model, iterations: int, learning_rate: float = 0.01,
         opt_state = adam_tx.init(model)
     else:
         tx = masked_optimizer(optax.adam(learning_rate), model)
-        if chunk > 1:
-            step_fn = make_scan_train_step(tx, batch_size,
-                                           inner_steps=chunk)
+        if chunk > 1 or reject_nonfinite:
+            step_fn = make_scan_train_step(
+                tx, batch_size, inner_steps=chunk,
+                reject_nonfinite=reject_nonfinite)
         else:
             step_fn = make_sgd_train_step(tx, batch_size)
         opt_state = tx.init(model)

@@ -93,18 +93,38 @@ def main():
         return c + 1e-12 * jnp.sum(out)
     rec("psi2_core all-pallas fwd (record)", scan_time(f_pf, U))
 
-    # XLA path (the real op, same math end to end)
+    # XLA path (the real op, same math end to end).  PIN the route:
+    # _rbf_cross_psi2 reads config.psi2_impl at trace time, and 'auto'
+    # on TPU at D <= PSI2_KERNEL_MAX_D routes through the hybrid
+    # kernel — without the pin these legs silently measured
+    # kernel-vs-kernel (the jit-cache probe trap, CLAUDE.md round-4).
+    # scan_time builds a fresh jit per call, so tracing happens inside
+    # the temp_config scope.
+    from doubly_stochastic_dgp_tpu.config import temp_config
+
     def f_x(c):
         with jax.default_matmul_precision("highest"):
             p2 = _rbf_cross_psi2(kern, kern, c, S, Z)
         return c + 1e-12 * jnp.sum(p2)
-    rec("_rbf_cross_psi2 XLA fwd", scan_time(f_x, mu))
+    with temp_config(psi2_impl="xla"):
+        rec("_rbf_cross_psi2 XLA fwd", scan_time(f_x, mu))
 
     def f_xg(c):
         g = jax.grad(lambda m: jnp.sum(
             _rbf_cross_psi2(kern, kern, m, S, Z) ** 2))(c)
         return c + 1e-12 * g
-    rec("_rbf_cross_psi2 XLA fwd+bwd", scan_time(f_xg, mu))
+    with temp_config(psi2_impl="xla"):
+        rec("_rbf_cross_psi2 XLA fwd+bwd", scan_time(f_xg, mu))
+
+    # the end-to-end hybrid route through the SAME op (auto gate on
+    # chip; fresh jits per leg — never reuse a jit across a config
+    # flip)
+    def f_hg(c):
+        g = jax.grad(lambda m: jnp.sum(
+            _rbf_cross_psi2(kern, kern, m, S, Z) ** 2))(c)
+        return c + 1e-12 * g
+    with temp_config(psi2_impl="pallas"):
+        rec("_rbf_cross_psi2 hybrid fwd+bwd", scan_time(f_hg, mu))
 
 
 if __name__ == "__main__":

@@ -161,7 +161,14 @@ SLOW_TESTS = {
     "test_linalg.py::test_tri_solve_precomputed_inverse",
     # round-4: hybrid psi2 kernel — fast tier keeps the forward parity
     # oracle + the pure-python route/supported gates
+    # round-5 additions: kept-fast oracles = make_server cached parity,
+    # the guard's sane-trajectory no-op, and the three pure-logic bench
+    # record/flag tests; everything heavier rides slow
+    "test_serving.py::test_make_server_predict_density_and_live",
+    "test_training.py::test_reject_nonfinite_bounds_exploding_trajectory",
+    "test_training.py::test_fit_auto_guards_full_batch_collapsed",
     "test_pallas_psi2.py::test_gradients_match_reference_all_operands",
+    "test_pallas_psi2.py::test_mxu_backward_matches_reference_all_operands",
     "test_pallas_psi2.py::test_clamp_gate_zeroes_quadratic_gradients_but_not_logdet",
     "test_pallas_psi2.py::test_psi2_kernel_path_matches_xla_path",
     "test_pallas_psi2.py::test_psi2_kernel_path_sum_kernel_cross_terms",

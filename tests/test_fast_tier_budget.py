@@ -11,13 +11,14 @@ at nproc=1), update the CLAUDE.md budget note, and raise the ceiling
 here in the same commit.
 """
 
-# Fast-tier collection as of the round-4 psi2/linalg additions: 162
-# selected items (152 passed + 9 skipped + the guard), measured 4:41
-# at nproc=1 with -n 2 (kept additions: the solve-free jaxpr pin, the
-# deep-rung ladder net, and the psi2 fwd-parity + route-gate oracles —
-# everything heavier rides slow).  The ceiling allows a few
-# genuinely-cheap additions before forcing a re-measure.
-FAST_TIER_MAX_ITEMS = 165
+# Fast-tier collection as of the round-5 serving/guard/bench additions:
+# 167 selected items (157 passed + 9 skipped + the guard), measured
+# 6:02 at nproc=1 with -n 2 (kept additions: make_server cached parity,
+# the reject-nonfinite sane-trajectory no-op oracle, and the three
+# pure-logic bench record/flag tests; guard explosion + fit-auto +
+# density-server + MXU-backward grads ride slow).  The ceiling allows
+# a few genuinely-cheap additions before forcing a re-measure.
+FAST_TIER_MAX_ITEMS = 170
 
 
 def test_fast_tier_collection_count(request):

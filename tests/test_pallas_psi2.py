@@ -218,3 +218,27 @@ def test_damianou_trains_finite_under_kernel_route():
             losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses), losses
     assert losses[-1] < losses[0]
+
+
+def test_mxu_backward_matches_reference_all_operands():
+    """The MXU-contraction backward kernel (round-5: D-independent op
+    count for the D >= _BWD_MXU_MIN_D region) produces the same
+    gradients as the dense reference for every operand, across D on
+    both sides of the kernel-selection threshold and with a padded
+    tail."""
+    from doubly_stochastic_dgp_tpu.ops.pallas.psi2 import (
+        _psi2_core_bwd_call)
+
+    for N, M, D in [(41, 12, 1), (37, 20, 3), (130, 9, 8)]:
+        U, V, w, logdet, Z = _case(N, M, D, seed=D)
+        rng = np.random.RandomState(2)
+        g = jnp.asarray(rng.randn(M, M).astype("float32"))
+        gr = jax.grad(
+            lambda *a: jnp.sum(g * psi2_core_reference(*a)),
+            argnums=(0, 1, 2, 3, 4))(U, V, w, logdet, Z)
+        gk = _psi2_core_bwd_call(U, V, w, logdet, Z, g,
+                                 interpret=True, bwd_impl="mxu")
+        for a, b in zip(gk, gr):
+            scale = max(float(jnp.max(jnp.abs(b))), 1.0)
+            assert_allclose(np.asarray(a) / scale,
+                            np.asarray(b) / scale, rtol=0, atol=3e-6)
