@@ -118,6 +118,24 @@ def main():
         assert exact, (
             "fresh-process serving drifted from the in-process artifact "
             f"call: max|diff| = {np.max(np.abs(served - np.asarray(ref_mean)))}")
+
+        # the in-process production path (round-4 PERF.md serving
+        # verdict as API): make_server bakes the (precomputed) factors
+        # into a closure-jitted program — the measured-fastest request
+        # form.  Same key -> must agree with the artifact to roundoff
+        # (closure constants can fold slightly differently than
+        # arg-passed leaves; bitwise is the artifact's contract above).
+        serve = dsd.make_server(model, S=args.num_samples,
+                                precompute=args.precomputed,
+                                warmup_batch=args.batch)
+        srv_mean, _ = serve(Xs, key=key)
+        server_diff = float(np.max(np.abs(np.asarray(srv_mean)
+                                          - np.asarray(ref_mean))))
+        scale = float(np.max(np.abs(np.asarray(ref_mean)))) or 1.0
+        tol = (1e-4 if np.asarray(ref_mean).dtype == np.float32
+               else 1e-10) * scale
+        assert server_diff <= tol, (
+            f"make_server drifted from the artifact: {server_diff}")
         print(json.dumps({
             "precomputed": args.precomputed,
             "artifact_bytes": size,
@@ -126,6 +144,7 @@ def main():
             "server_matches_inprocess_bitwise": exact,
             "max_abs_diff": float(
                 np.max(np.abs(served - np.asarray(ref_mean)))),
+            "make_server_max_abs_diff_vs_artifact": server_diff,
         }, indent=2))
 
 
