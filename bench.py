@@ -190,15 +190,25 @@ def collapsed_step_flops(model, M, N):
     return 3 * fwd
 
 
-# Measured psi2 fwd+bwd element rates through _rbf_cross_psi2 at the
-# compute-bound shape (N=8192, M=256, one v5e chip — PERF.md round-4):
-# the dominant-op ceilings for the collapsed family, playing the role
-# F32_MATMUL_CEILING plays for the MC family.  'hybrid' = the Pallas-
-# backward route (config.psi2_impl auto, D <= 2); 'xla' = the blocked
-# XLA route (D > 2: one structural (N, M, M) HBM roundtrip fwd +
-# residual traffic bwd).
-PSI2_FWDBWD_ELEM_RATE_HYBRID = 37.4e9     # elems/s (D <= 2)
-PSI2_FWDBWD_ELEM_RATE_XLA = 20.5e9        # elems/s (D > 2)
+# Measured psi2 fwd+bwd times through _rbf_cross_psi2 at the
+# compute-bound shape (N=8192, M=256, one v5e chip — round-5 sweep,
+# scripts/sweep_psi2_bwd.py): the dominant-op ceilings for the
+# collapsed family, playing the role F32_MATMUL_CEILING plays for the
+# MC family.  The hybrid (Pallas-backward) route's rate is
+# D-dependent (the pre-recompute chain / MXU-pre residual slope), so
+# the ceiling interpolates the measured table; the XLA route is flat
+# (one structural (N, M, M) HBM roundtrip fwd + residual traffic bwd).
+_PSI2_SWEEP_ELEMS = 8192 * 256 * 256
+PSI2_HYBRID_MS_BY_D = {1: 8.72, 2: 12.82, 3: 14.32, 4: 15.32,
+                       6: 17.91, 8: 18.97}
+PSI2_FWDBWD_ELEM_RATE_XLA = _PSI2_SWEEP_ELEMS / 23.6e-3   # ~22.8e9/s
+
+
+def psi2_hybrid_elem_rate(d):
+    """elems/s ceiling for the hybrid route at input dim ``d``
+    (nearest measured D in the round-5 sweep table)."""
+    dm = min(PSI2_HYBRID_MS_BY_D, key=lambda k: abs(k - d))
+    return _PSI2_SWEEP_ELEMS / (PSI2_HYBRID_MS_BY_D[dm] * 1e-3)
 
 
 def collapsed_psi_roofline_seconds(model, M, N):
@@ -224,7 +234,7 @@ def collapsed_psi_roofline_seconds(model, M, N):
     total = 0.0
     for d in dims:
         route, _ = _psi2_route(N, M, d, model.X_data.dtype)
-        rate = (PSI2_FWDBWD_ELEM_RATE_HYBRID if route == "pallas"
+        rate = (psi2_hybrid_elem_rate(d) if route == "pallas"
                 else PSI2_FWDBWD_ELEM_RATE_XLA)
         total += N * M * M / rate
     return total

@@ -87,10 +87,11 @@ class Config:
     matmul_precision: str = "mixed"
     # psi2 data-sum implementation ('auto' | 'xla' | 'pallas').  'auto'
     # routes the RBF/RBF-cross psi2 through the fused Pallas kernel
-    # (ops/pallas/psi2.py) on TPU inside its measured-WIN region only
-    # (small input dim D <= 4, M <= 512 — the collapsed family's hidden
-    # layers; 2.0x on the dominant op at D=1, PERF.md round-4) and the
-    # blocked XLA path everywhere else.  'pallas' forces the kernel
+    # route (ops/pallas/psi2.py) on TPU inside its measured-WIN region
+    # only (input dim D <= PSI2_KERNEL_MAX_D = 8, M <= 512 — covers
+    # the collapsed family's hidden layers; 1.84x on the dominant op
+    # at D=2 down to 1.25x at D=8, every measured D a win, round-5
+    # sweep in PERF.md) and the blocked XLA path everywhere else.  'pallas' forces the kernel
     # (interpret mode off-TPU — tests), 'xla' forces the blocked path.
     # Unlike use_pallas this IS an auto gate: the kernel's win region
     # was measured end-to-end fwd AND bwd on chip, and the gate routes

@@ -56,6 +56,39 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+# The R recompute (pre = U + V - sum_d w_nd Z_ad Z_bd) is the only
+# D-scaling term left in the kernels.  Below the threshold it is the
+# unrolled VPU FMA chain (2 ops/element per d, full f32); at or above
+# it, one batched MXU dot per block (HIGHEST precision) makes it
+# nearly D-independent.  Measured on v5e (N=8192, M=256, fwd+bwd ms
+# through the MXU backward, VPU pre -> MXU pre): D=2 12.82 -> 14.93
+# (the backward's own MXU dots contend, VPU pre is free), D=4 15.32 ->
+# 15.90 (wash), D=6 20.11 -> 17.91, D=8 24.63 -> 18.97 — crossover
+# between 4 and 6, gate at 5.  (scripts/sweep_psi2_bwd.py
+# --pre-mxu-min-d, PERF.md round-5.)
+_PRE_MXU_MIN_D = 5
+
+
+def _compute_pre(U, V, w, Z):
+    """(BN, M, M) clamp-argument recompute, shared by every kernel."""
+    D = Z.shape[1]
+    pre = U[:, :, None] + V[:, None, :]
+    if D < _PRE_MXU_MIN_D:
+        for d in range(D):                        # static unroll (VPU)
+            zd_row = Z[:, d:d + 1].T              # (1, M) — slices only:
+            # Mosaic can't lower integer gathers on the lane axis
+            pre = pre - ((w[:, d:d + 1] * zd_row)[:, :, None]
+                         * zd_row[None, :, :])
+        return pre
+    hi = jax.lax.Precision.HIGHEST
+    G = w[:, None, :] * Z[None, :, :]             # (BN, M, D)
+    Zb = jnp.broadcast_to(Z, (G.shape[0],) + Z.shape)
+    R = jax.lax.dot_general(                      # (BN, M, M), batch BN
+        G, Zb, (((2,), (2,)), ((0,), (0,))),
+        precision=hi, preferred_element_type=G.dtype)
+    return pre - R
+
+
 def _fwd_kernel(U_ref, V_ref, w_ref, logdet_ref, Z_ref, out_ref):
     from jax.experimental import pallas as pl
 
@@ -67,13 +100,7 @@ def _fwd_kernel(U_ref, V_ref, w_ref, logdet_ref, Z_ref, out_ref):
     V = V_ref[:]                                  # (BN, M)
     w = w_ref[:]                                  # (BN, D)
     Z = Z_ref[:]                                  # (M, D)
-    D = Z.shape[1]
-    pre = U[:, :, None] + V[:, None, :]           # (BN, M, M)
-    for d in range(D):                            # static unroll (VPU FMAs)
-        zd_row = Z[:, d:d + 1].T                  # (1, M) — slices only:
-        # Mosaic can't lower integer gathers on the lane axis
-        pre = pre - ((w[:, d:d + 1] * zd_row)[:, :, None]
-                     * zd_row[None, :, :])
+    pre = _compute_pre(U, V, w, Z)                # (BN, M, M)
     e = jnp.exp(jnp.minimum(pre, 0.0)
                 + logdet_ref[:][:, :, None])
     out_ref[:, :] += jnp.sum(e, axis=0)
@@ -93,11 +120,7 @@ def _bwd_kernel(U_ref, V_ref, w_ref, logdet_ref, Z_ref, g_ref,
     Z = Z_ref[:]
     g = g_ref[:]                                  # (M, M)
     D = Z.shape[1]
-    pre = U[:, :, None] + V[:, None, :]
-    for d in range(D):
-        zd_row = Z[:, d:d + 1].T                  # (1, M)
-        pre = pre - ((w[:, d:d + 1] * zd_row)[:, :, None]
-                     * zd_row[None, :, :])
+    pre = _compute_pre(U, V, w, Z)
     e = jnp.exp(jnp.minimum(pre, 0.0)
                 + logdet_ref[:][:, :, None])
     ge = g[None, :, :] * e                        # (BN, M, M)
@@ -161,11 +184,7 @@ def _bwd_kernel_mxu(U_ref, V_ref, w_ref, logdet_ref, Z_ref, g_ref,
     g = g_ref[:]                                  # (M, M)
     BN, M = U.shape
     D = Z.shape[1]
-    pre = U[:, :, None] + V[:, None, :]
-    for d in range(D):
-        zd_row = Z[:, d:d + 1].T                  # (1, M)
-        pre = pre - ((w[:, d:d + 1] * zd_row)[:, :, None]
-                     * zd_row[None, :, :])
+    pre = _compute_pre(U, V, w, Z)
     e = jnp.exp(jnp.minimum(pre, 0.0)
                 + logdet_ref[:][:, :, None])
     ge = g[None, :, :] * e                        # (BN, M, M)
@@ -237,10 +256,12 @@ def _psi2_core_fwd_call(U, V, w, logdet, Z, interpret=False):
 
 
 # Backward-kernel selection threshold: the VPU kernel's unrolled per-d
-# chains win at small D; the MXU-contraction kernel (D-independent op
-# count) takes over above it.  Set from the round-5 on-chip sweep
-# (PERF.md round-5 psi2 table).
-_BWD_MXU_MIN_D = 3
+# chains win only at D=1 (fwd+bwd 8.72 vs 11.29 ms); from D=2 up the
+# MXU-contraction kernel is strictly faster (12.82/14.32/15.32/20.11 ms
+# at D=2/3/4/6 vs 14.27/19.70/25.08/37.23 for the VPU chains).
+# Measured on v5e at N=8192, M=256 — scripts/sweep_psi2_bwd.py,
+# PERF.md round-5 psi2 table.
+_BWD_MXU_MIN_D = 2
 
 
 def _psi2_core_bwd_call(U, V, w, logdet, Z, g, interpret=False,
@@ -328,6 +349,30 @@ def _xla_blocked_core(U, V, w, logdet, Z):
     return out
 
 
+# Forward route (round-5 sweep): in ISOLATION the all-Pallas forward
+# beats XLA's blocked forward at D in {2, 3} (5.04 / 6.46 vs 6.64 ms,
+# v5e N=8192 M=256) — but ASSEMBLED with the Pallas recompute backward
+# in one fwd+bwd program it regresses the total by ~4-5 ms (measured
+# D=2: 15.95 ms vs 12.82 for XLA-fwd + MXU-bwd; the third such
+# all-Pallas assembly loss on record after the round-2 conditional and
+# round-4 psi2 fwd verdicts — XLA overlaps the forward's HBM streaming
+# with surrounding work in ways a second pallas_call does not).  The
+# production forward is therefore ALWAYS the blocked XLA expression;
+# the range below is kept empty by design, with psi2_core_pallas_fwd
+# retained for the A/B record.
+_FWD_PALLAS_MIN_D = 1
+_FWD_PALLAS_MAX_D = 0          # empty range: XLA forward everywhere
+
+
+def _fwd_dispatch(U, V, w, logdet, Z, interpret):
+    D = Z.shape[1]
+    if (_FWD_PALLAS_MIN_D <= D <= _FWD_PALLAS_MAX_D
+            and (interpret or is_tpu_backend())):
+        return _psi2_core_fwd_call(U, V, w, logdet, Z,
+                                   interpret=interpret)
+    return _xla_blocked_core(U, V, w, logdet, Z)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def psi2_core(U, V, w, logdet, Z, interpret=False):
     """sum_n exp(logdet_n + min(U_na + V_nb - sum_d w_nd Z_ad Z_bd, 0)).
@@ -335,19 +380,21 @@ def psi2_core(U, V, w, logdet, Z, interpret=False):
     U, V: (N, M); w: (N, D) (nonnegative); logdet: (N, 1); Z: (M, D).
     Returns (M, M).
 
-    HYBRID execution (measured split, PERF.md round-4, v5e N=8192
-    M=256 D=1): the forward is the blocked XLA expression (1.68 ms —
-    XLA fuses the small-D R chain into the exp+reduce, already
-    HBM-free), the backward is the Pallas recompute kernel (7.4 ms vs
-    ~13.1 ms for XLA autodiff, which must save / re-stream (N, M, M)
-    residual blocks).  End-to-end fwd+bwd: 9.1 ms hybrid vs 14.8 ms
-    all-XLA (1.63x) vs 10.6 ms all-Pallas.
+    HYBRID execution (round-5 measured split, scripts/
+    sweep_psi2_bwd.py, v5e N=8192 M=256): the forward is ALWAYS the
+    blocked XLA expression (an all-Pallas fwd+bwd assembly measured
+    slower despite a faster isolated forward — see _FWD_PALLAS_*);
+    the backward is a Pallas recompute kernel — per-d VPU chains at
+    D=1, MXU contractions from D=2 up (_BWD_MXU_MIN_D) — vs XLA
+    autodiff's D-independent ~17 ms of (N, M, M) residual HBM
+    traffic.  End-to-end fwd+bwd vs all-XLA: 1.70x at D=1, 1.84x at
+    D=2, 1.65x at D=3, 1.54x at D=4, 1.17x at D=6, wash at D=8.
     """
-    return _xla_blocked_core(U, V, w, logdet, Z)
+    return _fwd_dispatch(U, V, w, logdet, Z, interpret)
 
 
 def _core_fwd(U, V, w, logdet, Z, interpret):
-    out = _xla_blocked_core(U, V, w, logdet, Z)
+    out = _fwd_dispatch(U, V, w, logdet, Z, interpret)
     return out, (U, V, w, logdet, Z)
 
 
@@ -368,18 +415,20 @@ def psi2_core_reference(U, V, w, logdet, Z):
                    axis=0)
 
 
-# Profitability crossover for the BACKWARD kernel (the only Pallas leg
-# on the production route — see psi2_core), measured on v5e at N=8192,
-# M=256 (PERF.md round-4): the kernel is VPU-recompute-bound at
-# ~(19 + 6(D-1)) ops/element (~0.39 ms per op-pass at this shape),
-# while XLA autodiff pays a D-independent ~13 ms of (N, M, M) residual
-# HBM traffic.  Measured end-to-end through _rbf_cross_psi2 (fwd+bwd
-# ms, xla -> hybrid): D=1 14.8 -> 8.7 (1.70x), D=2 26.5 -> 14.3
-# (1.85x), D=4 26.5 -> 25.2 (wash), D=8 26.2 -> 48.5 (1.85x loss).
-# Gate at 2 — strong wins only; the collapsed family's hidden layers
-# (the hot psi consumers) are 1-2 wide in the Damianou-Lawrence
-# setting.
-PSI2_KERNEL_MAX_D = 2
+# Profitability crossover for the kernel route, measured end-to-end
+# through _rbf_cross_psi2 on v5e at N=8192, M=256 (round-5 sweeps,
+# scripts/sweep_psi2_bwd.py; fwd+bwd ms, xla -> best kernel route at
+# the production per-D pre/bwd selection):
+#   D=1 14.85 -> 8.72 (1.70x, VPU bwd)   D=4 23.56 -> 15.32 (1.54x)
+#   D=2 23.54 -> 12.82 (1.84x, MXU bwd)  D=6 23.54 -> 17.91 (1.31x)
+#   D=3 23.59 -> 14.32 (1.65x)           D=8 23.63 -> 18.97 (1.25x)
+# The round-4 VPU backward's ~(19 + 6(D-1)) ops/element lost above
+# D ~ 3; the round-5 MXU-contraction backward plus the MXU pre
+# recompute at D >= _PRE_MXU_MIN_D leave a ~0.7 ms/D residual slope
+# against XLA's flat ~23.6 ms — every measured D wins.  Gate at 8,
+# the last MEASURED win (extrapolated crossover ~D=15, unverified;
+# D > 8 routes to XLA until someone measures it).
+PSI2_KERNEL_MAX_D = 8
 
 
 def psi2_kernel_supported(N, M, D, dtype) -> bool:

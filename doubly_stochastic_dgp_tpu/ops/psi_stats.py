@@ -46,13 +46,16 @@ def _psi2_route(N, M, D, dtype):
     """('xla' | 'pallas', interpret) for the RBF psi2 data-sum.
 
     ``config.psi2_impl`` (trace-time read): 'auto' picks the fused
-    Pallas kernel (ops/pallas/psi2.py) on TPU inside its measured-win
-    region (small D — the kernel is VPU-recompute-bound at ~(6 + 2D)
-    ops/element while the XLA path is HBM-bound and D-independent;
-    on-chip crossover D ~ 7, gate at 4, PERF.md round-4), 'pallas'
-    forces the kernel wherever its hard shape limits allow (interpret
-    mode off-TPU — how the CPU equality tests drive it), 'xla' forces
-    the blocked XLA path."""
+    Pallas kernel route (ops/pallas/psi2.py) on TPU inside its
+    measured-win region D <= PSI2_KERNEL_MAX_D = 8 — the round-5
+    MXU-contraction backward (and MXU pre-recompute at D >= 5) made
+    the kernel's cost nearly D-independent while the XLA path pays a
+    flat ~17 ms of (N, M, M) residual HBM traffic; every measured D
+    wins (1.70x/1.84x/1.65x/1.54x/1.31x/1.25x at D=1/2/3/4/6/8,
+    scripts/sweep_psi2_bwd.py, PERF.md round-5), and the gate sits at
+    the last measured point.  'pallas' forces the kernel wherever its
+    hard shape limits allow (interpret mode off-TPU — how the CPU
+    equality tests drive it), 'xla' forces the blocked XLA path."""
     from ..config import config
     from .pallas.psi2 import (is_tpu_backend, psi2_kernel_profitable,
                               psi2_kernel_supported)

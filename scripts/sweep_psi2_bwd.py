@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--N", type=int, default=8192)
     ap.add_argument("--M", type=int, default=256)
     ap.add_argument("--Ds", type=str, default="1,2,3,4,6,8")
+    ap.add_argument("--pre-mxu-min-d", type=int, default=None,
+                    help="override psi2._PRE_MXU_MIN_D for every kernel "
+                         "leg (99 = force the VPU pre chain, 1 = force "
+                         "the batched-MXU pre dot)")
     args = ap.parse_args()
     N, M = args.N, args.M
 
@@ -70,7 +74,10 @@ def main():
     dsd.set_default_float("float32")
     rng = np.random.RandomState(0)
 
-    print(f"# N={N} M={M}  block rows={kpsi2._block_rows(M)}", flush=True)
+    if args.pre_mxu_min_d is not None:
+        kpsi2._PRE_MXU_MIN_D = args.pre_mxu_min_d
+    print(f"# N={N} M={M}  block rows={kpsi2._block_rows(M)}  "
+          f"pre_mxu_min_d={kpsi2._PRE_MXU_MIN_D}", flush=True)
     hdr = (f"{'D':>2} {'xla fwd':>9} {'plls fwd':>9} {'xla f+b':>9} "
            f"{'vpu f+b':>9} {'mxu f+b':>9}   best (x vs xla)")
     print(hdr, flush=True)
