@@ -22,6 +22,33 @@ import jax
 import jax.numpy as jnp
 
 
+def _perturb(model, seed):
+    """Seed-dependent init jitter.  At L=2 the collapsed/Damianou
+    bounds are DETERMINISTIC (the inner propagation's mean/var given
+    raw inputs involves no sampling — the PRNG key only matters from
+    L=3 up), so distinct trajectories need distinct INITS: nudge every
+    trainable leaf by ~1e-3 relative noise."""
+    if seed == 0:
+        return model
+    import jax.tree_util as jtu
+
+    from doubly_stochastic_dgp_tpu.utils.modules import Param
+
+    rng = np.random.RandomState(seed)
+
+    def nudge(leaf):
+        if isinstance(leaf, Param) and leaf.trainable:
+            v = np.asarray(leaf.value)
+            noise = np.asarray(rng.standard_normal(size=v.shape),
+                               dtype=v.dtype)
+            return leaf.with_value(jnp.asarray(
+                (v + 1e-3 * (np.abs(v) + 0.1) * noise).astype(v.dtype)))
+        return leaf
+
+    return jtu.tree_map(nudge, model,
+                        is_leaf=lambda x: isinstance(x, Param))
+
+
 def main():
     import optax
 
@@ -55,6 +82,7 @@ def main():
                  else bench.build_collapsed)
         for seed in range(args.seeds):
             model = build(X, Y, M=100, L=2, N=1500)
+            model = _perturb(model, seed)
             tx = masked_optimizer(optax.adam(0.01), model)
             opt_state = tx.init(model)
             step = make_scan_train_step(tx, inner_steps=args.inner,
