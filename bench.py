@@ -202,6 +202,11 @@ _PSI2_SWEEP_ELEMS = 8192 * 256 * 256
 PSI2_HYBRID_MS_BY_D = {1: 8.72, 2: 12.82, 3: 14.32, 4: 15.32,
                        6: 17.91, 8: 18.97}
 PSI2_FWDBWD_ELEM_RATE_XLA = _PSI2_SWEEP_ELEMS / 23.6e-3   # ~22.8e9/s
+# Below one 128-lane tile XLA fully fuses the (N, M, M) block and runs
+# ~5x faster per element (measured at N=1500, M=100: fwd+bwd 0.13-0.14
+# ms = ~110 Gelem/s) — the dedicated small-M ceiling, and the reason
+# the kernel route gates at PSI2_KERNEL_MIN_M = 128.
+PSI2_FWDBWD_ELEM_RATE_XLA_SMALL_M = 110e9
 
 
 def psi2_hybrid_elem_rate(d):
@@ -231,11 +236,18 @@ def collapsed_psi_roofline_seconds(model, M, N):
         dims = [h.value.shape[1] for h in model.h_mean]
     elif hasattr(model, "inner_layers_propagate"):       # DGPCollapsed
         dims = [model.layers[-1].kern.input_dim]
+    from doubly_stochastic_dgp_tpu.ops.pallas.psi2 import (
+        PSI2_KERNEL_MIN_M)
+
     total = 0.0
     for d in dims:
         route, _ = _psi2_route(N, M, d, model.X_data.dtype)
-        rate = (psi2_hybrid_elem_rate(d) if route == "pallas"
-                else PSI2_FWDBWD_ELEM_RATE_XLA)
+        if route == "pallas":
+            rate = psi2_hybrid_elem_rate(d)
+        elif M < PSI2_KERNEL_MIN_M:
+            rate = PSI2_FWDBWD_ELEM_RATE_XLA_SMALL_M
+        else:
+            rate = PSI2_FWDBWD_ELEM_RATE_XLA
         total += N * M * M / rate
     return total
 

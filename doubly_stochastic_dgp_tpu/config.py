@@ -88,10 +88,12 @@ class Config:
     # psi2 data-sum implementation ('auto' | 'xla' | 'pallas').  'auto'
     # routes the RBF/RBF-cross psi2 through the fused Pallas kernel
     # route (ops/pallas/psi2.py) on TPU inside its measured-WIN region
-    # only (input dim D <= PSI2_KERNEL_MAX_D = 8, M <= 512 — covers
-    # the collapsed family's hidden layers; 1.84x on the dominant op
-    # at D=2 down to 1.25x at D=8, every measured D a win, round-5
-    # sweep in PERF.md) and the blocked XLA path everywhere else.  'pallas' forces the kernel
+    # only (input dim D <= PSI2_KERNEL_MAX_D = 8 and 128 <= M <= 512 —
+    # covers the collapsed family's hidden layers; 1.84x on the
+    # dominant op at D=2 down to 1.25x at D=8, every measured D a win;
+    # below one 128-lane tile XLA fully fuses the block and the kernel
+    # loses 5-6x, so M < 128 routes to XLA — round-5 sweeps in
+    # PERF.md) and the blocked XLA path everywhere else.  'pallas' forces the kernel
     # (interpret mode off-TPU — tests), 'xla' forces the blocked path.
     # Unlike use_pallas this IS an auto gate: the kernel's win region
     # was measured end-to-end fwd AND bwd on chip, and the gate routes

@@ -439,10 +439,20 @@ def psi2_kernel_supported(N, M, D, dtype) -> bool:
             and N * M <= 64 * 1024 * 1024)
 
 
+# Lower M bound of the win region (round-5 region sweep, D=2 fwd+bwd
+# ms, xla -> kernel): M=100 is a 5-6x LOSS (0.14 -> 0.77 at N=1500 —
+# below one 128-lane tile XLA fully fuses the (N, M, M) block and the
+# kernel's padding + fixed costs dominate), while every measured
+# M >= 128 wins: M=128 5.97 -> 4.25 (1.41x, N=8192), M=192 15.27 ->
+# 8.39 (1.82x), M=256 5.72 -> 2.62 (2.18x, N=1500).
+PSI2_KERNEL_MIN_M = 128
+
+
 def psi2_kernel_profitable(N, M, D, dtype) -> bool:
     """supported AND inside the measured-win region (see
-    PSI2_KERNEL_MAX_D)."""
-    return psi2_kernel_supported(N, M, D, dtype) and D <= PSI2_KERNEL_MAX_D
+    PSI2_KERNEL_MAX_D / PSI2_KERNEL_MIN_M)."""
+    return (psi2_kernel_supported(N, M, D, dtype)
+            and D <= PSI2_KERNEL_MAX_D and M >= PSI2_KERNEL_MIN_M)
 
 
 def is_tpu_backend() -> bool:

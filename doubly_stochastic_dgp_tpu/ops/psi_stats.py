@@ -47,13 +47,15 @@ def _psi2_route(N, M, D, dtype):
 
     ``config.psi2_impl`` (trace-time read): 'auto' picks the fused
     Pallas kernel route (ops/pallas/psi2.py) on TPU inside its
-    measured-win region D <= PSI2_KERNEL_MAX_D = 8 — the round-5
-    MXU-contraction backward (and MXU pre-recompute at D >= 5) made
-    the kernel's cost nearly D-independent while the XLA path pays a
-    flat ~17 ms of (N, M, M) residual HBM traffic; every measured D
-    wins (1.70x/1.84x/1.65x/1.54x/1.31x/1.25x at D=1/2/3/4/6/8,
-    scripts/sweep_psi2_bwd.py, PERF.md round-5), and the gate sits at
-    the last measured point.  'pallas' forces the kernel wherever its
+    measured-win region D <= PSI2_KERNEL_MAX_D = 8 AND M >=
+    PSI2_KERNEL_MIN_M = 128 — the round-5 MXU-contraction backward
+    (and MXU pre-recompute at D >= 5) made the kernel's cost nearly
+    D-independent while the XLA path pays a flat ~17 ms of (N, M, M)
+    residual HBM traffic at M >= 128; every measured D wins there
+    (1.70x/1.84x/1.65x/1.54x/1.31x/1.25x at D=1/2/3/4/6/8), while
+    below one 128-lane tile XLA fully fuses the block and the kernel
+    is a 5-6x LOSS (M=100 measured).  scripts/sweep_psi2_bwd.py,
+    PERF.md round-5; both gates sit at measured points.  'pallas' forces the kernel wherever its
     hard shape limits allow (interpret mode off-TPU — how the CPU
     equality tests drive it), 'xla' forces the blocked XLA path."""
     from ..config import config

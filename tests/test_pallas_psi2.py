@@ -98,6 +98,16 @@ def test_supported_gate():
     assert not psi2_kernel_supported(8192, 256, 8, f64)    # f64 -> XLA
     assert not psi2_kernel_supported(10 ** 6, 256, 8, f32)  # staging cap
 
+    # profitability = the round-5 MEASURED win region (D and M gates)
+    from doubly_stochastic_dgp_tpu.ops.pallas.psi2 import (
+        psi2_kernel_profitable)
+
+    assert psi2_kernel_profitable(8192, 256, 8, f32)
+    assert psi2_kernel_profitable(8192, 128, 2, f32)
+    assert not psi2_kernel_profitable(8192, 100, 2, f32)   # M < 128:
+    # XLA fully fuses below one lane tile (5-6x measured loss)
+    assert not psi2_kernel_profitable(8192, 256, 9, f32)   # D > 8
+
 
 def _psi_case(N, M, D, seed=0):
     import doubly_stochastic_dgp_tpu as dsd
