@@ -19,14 +19,20 @@ traffic, and it is >50% of a compute-bound collapsed training step.
 This kernel streams n-blocks through VMEM, forms the (BN, M, M) block,
 exponentiates and reduces it in-place, and accumulates the (M, M)
 output across sequential grid steps — HBM traffic drops from
-O(N * M^2) to O(N * M), a ~M/2-fold reduction.  The d-contraction is an
-unrolled VPU multiply-add chain (full f32 FMAs — NO bf16-class MXU
-passes, so the precision contract of psi_statistics is preserved; the
-exponent never sees a lowered dot).  The backward pass is a second
-kernel over the same blocks that recomputes the exponential (cheaper
-than storing (N, M, M) residuals — which would reintroduce exactly the
-HBM traffic the forward removed) and emits closed-form gU/gV/gw/
-glogdet/gZ.
+O(N * M^2) to O(N * M), a ~M/2-fold reduction.  The backward pass is a
+second kernel over the same blocks that recomputes the exponential
+(cheaper than storing (N, M, M) residuals — which would reintroduce
+exactly the HBM traffic the forward removed) and emits closed-form
+gU/gV/gw/glogdet/gZ.  Two backward variants ship (round-5,
+scripts/sweep_psi2_bwd.py): per-d unrolled VPU FMA chains (wins at
+D=1) and MXU contractions at HIGHEST precision that make the op count
+nearly D-independent (wins from D=2 up); the shared `pre` recompute
+likewise flips from the VPU chain to a batched MXU dot at D >= 5.
+Every dot in every kernel runs at HIGHEST precision — no bf16-class
+passes, preserving psi_statistics' precision contract.  The
+production route is XLA-forward + Pallas-backward; the all-Pallas
+forward is faster in isolation at D >= 2 but measured SLOWER when
+assembled with the backward in one program, see _FWD_PALLAS_*.
 """
 
 from __future__ import annotations
