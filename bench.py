@@ -278,24 +278,33 @@ def achievable_ceiling(M):
     return F32_MATMUL_CEILING * (M / Mp) ** 2
 
 
+_RTT_PROBE_FN = None
+_RTT_PROBE_SEQ = [0]
+
+
 def _rtt_probe_ms(n=5):
     """Median host<->device round trip of a minimal unique dispatch +
     scalar readback — the host-congestion sentinel (round-4 VERDICT
     next #1b).  Unique inputs per call (the tunneled-TPU dispatch-cache
-    pitfall, utils/timing.py); the probe program is one scalar add, so
-    anything above the quiet-host band is host/tunnel congestion, not
-    compute."""
+    pitfall, utils/timing.py); the probe program is one scalar add
+    (jitted ONCE per process — a fresh lambda per probe would pay a
+    retrace and poison the probe with compile time), so anything above
+    the quiet-host band is host/tunnel congestion, not compute."""
     import statistics
 
     import jax
     import jax.numpy as jnp
 
-    f = jax.jit(lambda x: x + 1.0)
-    float(f(jnp.float32(-1.0)))          # compile + warm
+    global _RTT_PROBE_FN
+    if _RTT_PROBE_FN is None:
+        _RTT_PROBE_FN = jax.jit(lambda x: x + 1.0)
+        float(_RTT_PROBE_FN(jnp.float32(-1.0)))      # compile + warm
+    f = _RTT_PROBE_FN
     ts = []
-    for i in range(n):
+    for _ in range(n):
+        _RTT_PROBE_SEQ[0] += 1
         t0 = time.perf_counter()
-        float(f(jnp.float32(i)))
+        float(f(jnp.float32(_RTT_PROBE_SEQ[0])))
         ts.append(time.perf_counter() - t0)
     return 1e3 * statistics.median(ts)
 
