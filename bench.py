@@ -26,9 +26,15 @@ precision experiments).  The JSON also carries a "throughput_mode" row
 measuring the same step at precision='default' (the r01 headline
 contract) for cross-round comparability.
 
-Prints ONE JSON line:
+Output contract (round-5): stdout is exactly ONE compact JSON line
+(guaranteed to fit the driver's 2000-char tail capture)
   {"metric": ..., "value": steps/sec, "unit": "steps/sec",
-   "vs_baseline": ratio, "matrix": [...], "throughput_mode": {...}}
+   "vs_baseline": ratio, "congested": ..., "matrix": {name: {...}},
+   "serving": {...}, "full_record": "BENCH_FULL.json"}
+while the FULL record goes to BENCH_FULL.json (committed — the
+next round's comparability anchor) and to stderr.  Every row carries
+an RTT congestion sentinel and an RTT-corrected device rate; see
+_rtt_probe_ms / _flag_vs_prior.
 
 vs_baseline is measured against the GPflow/TF1 CPU reference's training
 rate for the headline config.  The reference's own published throughput

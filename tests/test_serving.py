@@ -172,3 +172,59 @@ def test_make_server_predict_density_and_live():
     mean_m, _ = m.predict_y(jnp.asarray(X[:5]), S=4, key=key)
     assert_allclose(np.asarray(mean_l), np.asarray(mean_m), rtol=1e-9,
                     atol=1e-12)
+
+
+def test_make_server_batch_buckets():
+    """Bucketed serving: ragged batches are padded to the bucket (per-
+    row predictions are independent, so kept rows match the full-batch
+    call to roundoff on deterministic models) and oversize batches are
+    served in top-bucket chunks."""
+    import doubly_stochastic_dgp_tpu as dsd
+    from doubly_stochastic_dgp_tpu import make_server
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(40, 2)
+    Y = np.sin(X[:, :1]) + 0.05 * rng.randn(40, 1)
+    m = dsd.GPR.build(X, Y, dsd.RBF.make(2), noise_variance=0.05)
+
+    serve = make_server(m, S=1, batch_buckets=(4, 8))
+    ref = make_server(m, S=1)
+
+    # ragged request inside a bucket: rows bitwise vs the plain server
+    for B in (3, 4, 6, 8):
+        mean_b, var_b = serve(X[:B])
+        mean_r, var_r = ref(X[:B])
+        assert mean_b.shape == mean_r.shape
+        # per-row predictions are independent of the padding rows;
+        # ulp-level differences remain (CPU matmul tail handling
+        # differs between column-tile widths), so tight-allclose
+        assert_allclose(np.asarray(mean_b), np.asarray(mean_r),
+                        rtol=1e-10, atol=1e-12)
+        assert_allclose(np.asarray(var_b), np.asarray(var_r),
+                        rtol=1e-10, atol=1e-12)
+
+    # oversize request: chunked over the top bucket and concatenated
+    mean_c, var_c = serve(X[:19])
+    mean_f, var_f = ref(X[:19])
+    assert mean_c.shape == mean_f.shape
+    assert_allclose(np.asarray(mean_c), np.asarray(mean_f),
+                    rtol=1e-10, atol=1e-12)
+
+    # density servers bucket too (row axis of the (B, D) output)
+    sd = make_server(m, S=1, method="predict_density",
+                     batch_buckets=(8,))
+    rd = make_server(m, S=1, method="predict_density")
+    d_b = sd(X[:5], Y[:5])
+    d_r = rd(X[:5], Y[:5])
+    assert d_b.shape == d_r.shape
+    assert_allclose(np.asarray(d_b), np.asarray(d_r),
+                    rtol=1e-10, atol=1e-12)
+
+    # MC models: shapes/finiteness through the bucketed path
+    dgp = dsd.DGP.build(X, Y, X[:6].copy(), [dsd.RBF.make(2)],
+                        dsd.Gaussian.make(0.1), num_samples=2)
+    sm = make_server(dgp, S=3, batch_buckets=(8,))
+    mean, var = sm(X[:19])
+    assert mean.shape[-2] == 19
+    assert np.all(np.isfinite(np.asarray(mean)))
+    assert np.all(np.asarray(var) > 0)
