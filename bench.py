@@ -494,8 +494,11 @@ def run_matrix(args, X, Y):
         # the timed blocks; a congested row is re-run once (fresh
         # model — measure donates its buffers) and, if still hot,
         # shipped annotated with its regression flag suppressed
-        rtt0 = _rtt_probe_ms()
         for attempt in range(2):
+            # fresh 'before' probe each attempt: carrying the hot
+            # trailing probe over would make a transient burst
+            # impossible to clear on the re-run
+            rtt0 = _rtt_probe_ms()
             model, B = _build_row_model(spec, X, Y)
             # flops from the pytree BEFORE measure() donates buffers
             if not mxu_bound:
@@ -516,7 +519,6 @@ def run_matrix(args, X, Y):
             print(f"# {name}: congested host (rtt {rtt0:.1f}/"
                   f"{rtt1:.1f} ms){' — re-running' if attempt == 0 else ''}",
                   file=sys.stderr, flush=True)
-            rtt0 = rtt1
         rate = stats["steps_per_sec"]
         sustained = flops * rate
         # pure device time per step: best dispatch minus the block's
@@ -660,8 +662,12 @@ def _flag_vs_prior(row, dispatch_ms=None):
         prev_dev = prior.get("device_steps_per_sec")
         if prev_dev and row.get("device_steps_per_sec"):
             row["prior_device_steps_per_sec"] = prev_dev
+            # the 12% floor widens with the row's own demonstrated
+            # within-run spread (the legacy branch's rule) — a noisy-
+            # but-uncongested row can't trip on its own noise
+            tol = max(row.get("spread_pct", 0.0) / 100.0, 0.12)
             row["regressed_vs_prior"] = bool(
-                row["device_steps_per_sec"] < prev_dev * (1.0 - 0.12))
+                row["device_steps_per_sec"] < prev_dev * (1.0 - tol))
             return
         floor = (0.45 if dispatch_ms is not None and dispatch_ms < 100
                  else 0.10)
@@ -874,10 +880,14 @@ def main():
     if args.only:
         out = {"platform": platform, "matrix": run_matrix(args, X, Y)}
         print(json.dumps(out), file=sys.stderr, flush=True)
-        print(json.dumps(_compact_record(
+        compact = _compact_record(
             {"metric": "matrix_only", "value": None, "unit": None,
              "vs_baseline": None, "platform": platform,
-             "matrix": out["matrix"]}), separators=(",", ":")))
+             "matrix": out["matrix"]})
+        # partial runs never write BENCH_FULL.json — don't point at a
+        # stale one
+        compact.pop("full_record", None)
+        print(json.dumps(compact, separators=(",", ":")))
         return
 
     rtt_headline = _rtt_probe_ms()

@@ -169,11 +169,15 @@ def make_server(model, S: int, *, method: str = "predict_y",
     from .utils.modules import assert_live
 
     assert_live(model, what="model")
-    # input width for warmup requests — read off the RAW model (the
-    # posterior-cached pytrees don't keep the training set)
-    D_in = None
+    # input/output widths for warmup requests — read off the RAW model
+    # (the posterior-cached pytrees don't keep the training set).  The
+    # Y width matters: a (b, 1) warmup for a multi-output
+    # predict_density server would compile a program no real request
+    # uses, silently defeating the warmup.
+    D_in, D_out = None, 1
     try:
         D_in = int(model.X_data.shape[1])
+        D_out = int(model.Y_data.shape[1])
     except AttributeError:
         pass
     if precompute:
@@ -222,17 +226,28 @@ def make_server(model, S: int, *, method: str = "predict_y",
         top = buckets[-1]
         chunks = []
         start = 0
+        chunk_idx = 0
         while start < B:
             n = min(top, B - start)
             bb = next(b for b in buckets if n <= b)
             Xb = _pad_rows(X[start:start + n], bb - n)
             Yb = (_pad_rows(Y[start:start + n], bb - n)
                   if needs_y else None)
-            k = key if (key is not None and B <= top) else _next_key()
+            # a caller-pinned key stays authoritative on the chunked
+            # path too: chunk keys are derived from it deterministically
+            # (fold_in per chunk), so identical pinned-key requests
+            # reproduce bit-for-bit; only keyless requests draw from
+            # the internal counter
+            if key is not None:
+                k = (key if B <= top
+                     else jax.random.fold_in(key, chunk_idx))
+            else:
+                k = _next_key()
             out = _call(Xb, Yb, k)
             chunks.append(jax.tree_util.tree_map(
                 lambda a: _rows(a, n), out))
             start += n
+            chunk_idx += 1
         if len(chunks) == 1:
             return chunks[0]
         return jax.tree_util.tree_map(
@@ -244,7 +259,8 @@ def make_server(model, S: int, *, method: str = "predict_y",
             if not b:
                 continue
             x0 = jnp.zeros((b, D_in), dtype=default_float())
-            out = (serve(x0, jnp.zeros((b, 1), dtype=default_float()))
+            out = (serve(x0, jnp.zeros((b, D_out),
+                                       dtype=default_float()))
                    if needs_y else serve(x0))
             jax.block_until_ready(out)
     return serve

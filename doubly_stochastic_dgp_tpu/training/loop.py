@@ -148,7 +148,14 @@ def make_scan_train_step(tx: optax.GradientTransformation,
     update values (scale is pinned at 1.0), and the reported loss is
     the last finite loss, so a guarded bench row cannot end in NaN.
     Used by default for the full-batch collapsed family (``fit``'s
-    auto rule), where the instability is on record (PERF.md round-4)."""
+    auto rule), where the instability is on record (PERF.md round-4).
+
+    Limitation: the trust scale lives in the scan carry and re-seeds
+    to 1.0 every dispatch, so its halving escape only operates WITHIN
+    a dispatch — with very small ``inner_steps`` on a key-
+    deterministic bound, a rejected dispatch can replay identically
+    (finite but frozen loss).  Use ``inner_steps`` >= ~8 with the
+    guard (``fit`` enforces this for its auto rule)."""
 
     def loss_fn(model, X, Y, key):
         # MAP objective: parameter log-priors join the bound, as in
@@ -352,6 +359,20 @@ def fit(model, iterations: int, learning_rate: float = 0.01,
     if scan_steps is None:
         scan_steps = max(1, min(10, log_every))
     chunk = max(1, scan_steps)
+    if reject_nonfinite and chunk < 8:
+        # the guard's trust scale lives in the scan carry and re-seeds
+        # to 1.0 each dispatch, so its halving escape only engages
+        # WITHIN a dispatch — at tiny scan_steps a key-deterministic
+        # full-batch bound can replay the same accept/NaN/rollback
+        # cycle every dispatch (finite but frozen).  Give the guard
+        # room to shrink: at 8 inner steps consecutive rejections
+        # reach scale 2^-7 before the dispatch ends.
+        import warnings
+        warnings.warn(
+            f"reject_nonfinite guard: raising scan_steps from {chunk} "
+            f"to 8 (the trust-scale escape needs in-dispatch room; "
+            f"pass reject_nonfinite=False to keep scan_steps={chunk})")
+        chunk = 8
     if natgrad_gamma is not None:
         adam_tx = masked_optimizer(
             optax.adam(learning_rate), model,

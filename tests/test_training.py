@@ -665,13 +665,23 @@ def test_fit_auto_guards_full_batch_collapsed():
                               [dsd.RBF.make(2), dsd.RBF.make(2)],
                               dsd.Gaussian.make(0.1))
     assert m.full_batch_bound
-    m2, hist = fit(m, 6, learning_rate=0.01, scan_steps=3,
-                   log_every=3)
+    m2, hist = fit(m, 8, learning_rate=0.01, scan_steps=8,
+                   log_every=8)
     assert np.isfinite(hist[-1]["loss"])
-    # and the guard can be explicitly disabled
+    # and the guard can be explicitly disabled (same horizon/chunk)
     m3 = dsd.DGPDamianou.build(X, Y, X[:8].copy(),
                                [dsd.RBF.make(2), dsd.RBF.make(2)],
                                dsd.Gaussian.make(0.1))
-    _, hist3 = fit(m3, 6, learning_rate=0.01, scan_steps=3,
-                   log_every=3, reject_nonfinite=False)
+    _, hist3 = fit(m3, 8, learning_rate=0.01, scan_steps=8,
+                   log_every=8, reject_nonfinite=False)
     assert_allclose(hist[-1]["loss"], hist3[-1]["loss"], rtol=1e-8)
+    # the auto rule enforces in-dispatch room for the trust-scale
+    # escape: tiny scan_steps are raised (with a warning), not kept
+    import pytest
+    m4 = dsd.DGPDamianou.build(X, Y, X[:8].copy(),
+                               [dsd.RBF.make(2), dsd.RBF.make(2)],
+                               dsd.Gaussian.make(0.1))
+    with pytest.warns(UserWarning, match="raising scan_steps"):
+        _, hist4 = fit(m4, 8, learning_rate=0.01, scan_steps=2,
+                       log_every=8)
+    assert np.isfinite(hist4[-1]["loss"])
