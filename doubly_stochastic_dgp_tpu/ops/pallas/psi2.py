@@ -261,13 +261,29 @@ def _psi2_core_fwd_call(U, V, w, logdet, Z, interpret=False):
     )(U, V, w, logdet, Z)
 
 
-# Backward-kernel selection threshold: the VPU kernel's unrolled per-d
-# chains win only at D=1 (fwd+bwd 8.72 vs 11.29 ms); from D=2 up the
-# MXU-contraction kernel is strictly faster (12.82/14.32/15.32/20.11 ms
-# at D=2/3/4/6 vs 14.27/19.70/25.08/37.23 for the VPU chains).
-# Measured on v5e at N=8192, M=256 — scripts/sweep_psi2_bwd.py,
-# PERF.md round-5 psi2 table.
+# Backward-kernel selection thresholds (v5e, N=8192,
+# scripts/sweep_psi2_bwd.py, PERF.md round-5):
+# - M <= 384: the VPU kernel's unrolled per-d chains win only at D=1
+#   (fwd+bwd 8.72 vs 11.29 ms at M=256); from D=2 up the
+#   MXU-contraction kernel is strictly faster (12.82/14.32/15.32/
+#   20.11 ms at D=2/3/4/6 vs 14.27/19.70/25.08/37.23).
+# - M = 512 (the VMEM-pressure regime: the MXU variant's flattened
+#   (BN*M, M) operands thrash at 8 MB+ per temporary): the MXU fixed
+#   cost flips the small-D verdict — VPU wins D=2 (33.97 vs 46.12),
+#   MXU wins D=8 (75.4 vs 100.4); measured slopes put the crossover
+#   at D ~ 4.  NB at this shape XLA fwd+bwd cannot run AT ALL on one
+#   chip (its scan-saved (N, M, M) residuals need ~16.5 GB > 15.75 GB
+#   HBM) — the recompute backward is the memory ENABLER, whichever
+#   variant is picked.
 _BWD_MXU_MIN_D = 2
+_BWD_MXU_MIN_D_LARGE_M = 4
+_BWD_LARGE_M = 384
+
+
+def _bwd_impl_auto(M, D):
+    if M > _BWD_LARGE_M:
+        return "mxu" if D >= _BWD_MXU_MIN_D_LARGE_M else "vpu"
+    return "mxu" if D >= _BWD_MXU_MIN_D else "vpu"
 
 
 def _psi2_core_bwd_call(U, V, w, logdet, Z, g, interpret=False,
@@ -284,7 +300,7 @@ def _psi2_core_bwd_call(U, V, w, logdet, Z, g, interpret=False,
     blk = lambda cols: pl.BlockSpec((BN, cols), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
     if bwd_impl is None:
-        bwd_impl = "mxu" if D >= _BWD_MXU_MIN_D else "vpu"
+        bwd_impl = _bwd_impl_auto(M, D)
     kernel = _bwd_kernel_mxu if bwd_impl == "mxu" else _bwd_kernel
     gU, gV, gw, glogdet, gZ = pl.pallas_call(
         kernel,

@@ -100,8 +100,24 @@ def main():
 
         res = {}
         with temp_config(psi2_impl="xla"):
-            res["xla_f"] = scan_time(fwd, mu)
-            res["xla_fb"] = scan_time(fwdbwd, mu)
+            try:
+                res["xla_f"] = scan_time(fwd, mu)
+            except Exception as e:
+                print(f"#   xla fwd failed at D={D}: "
+                      f"{type(e).__name__}", flush=True)
+                res["xla_f"] = float("nan")
+            try:
+                # NB at N=8192 M=512 this leg is IMPOSSIBLE on one
+                # v5e: XLA autodiff saves the (N, M, M) residual blocks
+                # across the data scan (~16.5 GB > 15.75 GB HBM) — the
+                # recompute-backward kernel is the memory enabler
+                # there, not just the faster route (round-5 record)
+                res["xla_fb"] = scan_time(fwdbwd, mu)
+            except Exception as e:
+                print(f"#   xla fwd+bwd failed at D={D}: "
+                      f"{type(e).__name__} (HBM OOM at large N*M^2)",
+                      flush=True)
+                res["xla_fb"] = float("nan")
         # all-pallas forward (fwd-only A/B; not a production route):
         # swap psi2_core for the raw pallas fwd so the leg runs the
         # REAL op staging end-to-end (fresh jit per leg via scan_time)
@@ -118,12 +134,19 @@ def main():
             res["plls_f"] = float("nan")
         finally:
             kpsi2.psi2_core = saved_core
-        saved = kpsi2._BWD_MXU_MIN_D
+        saved = (kpsi2._BWD_MXU_MIN_D, kpsi2._BWD_MXU_MIN_D_LARGE_M)
+
+        def force_bwd(v):
+            # both thresholds: the auto rule is (M, D)-aware since the
+            # M=512 measurements
+            kpsi2._BWD_MXU_MIN_D = v
+            kpsi2._BWD_MXU_MIN_D_LARGE_M = v
+
         try:
             with temp_config(psi2_impl="pallas"):
-                kpsi2._BWD_MXU_MIN_D = 99         # force VPU bwd
+                force_bwd(99)                     # force VPU bwd
                 res["vpu_fb"] = scan_time(fwdbwd, mu)
-                kpsi2._BWD_MXU_MIN_D = 1          # force MXU bwd
+                force_bwd(1)                      # force MXU bwd
                 try:
                     res["mxu_fb"] = scan_time(fwdbwd, mu)
                 except Exception as e:
@@ -131,9 +154,9 @@ def main():
                           f"{type(e).__name__}: {e}", flush=True)
                     res["mxu_fb"] = float("nan")
         finally:
-            kpsi2._BWD_MXU_MIN_D = saved
-        best = min(res["xla_fb"],
-                   np.nanmin([res["vpu_fb"], res["mxu_fb"]]))
+            kpsi2._BWD_MXU_MIN_D, kpsi2._BWD_MXU_MIN_D_LARGE_M = saved
+        best = np.nanmin([res["xla_fb"], res["vpu_fb"],
+                          res["mxu_fb"]])
         print(f"{D:>2} {res['xla_f']:>9.2f} {res['plls_f']:>9.2f} "
               f"{res['xla_fb']:>9.2f} {res['vpu_fb']:>9.2f} "
               f"{res['mxu_fb']:>9.2f}   "
