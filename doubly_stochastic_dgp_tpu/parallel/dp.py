@@ -134,7 +134,8 @@ def make_dp_scan_train_step(tx: optax.GradientTransformation, mesh: Mesh,
                             axis: str = "data",
                             batch_size: Optional[int] = None,
                             inner_steps: int = 10,
-                            grad_inside: bool = True):
+                            grad_inside: bool = True,
+                            reject_nonfinite: bool = False):
     """``inner_steps`` data-parallel optimizer steps per XLA dispatch.
 
     The returned ``step(model, opt_state, X_sharded, Y_sharded, key)``
@@ -152,7 +153,24 @@ def make_dp_scan_train_step(tx: optax.GradientTransformation, mesh: Mesh,
       - ``grad_inside=False``: lax.scan whose body differentiates
         through a shard_map'd ELBO (the make_dp_train_step formulation,
         scanned).
+
+    ``reject_nonfinite=True`` applies the single-chip trajectory guard
+    (training/loop.py::make_scan_train_step: delayed rollback +
+    trust-scale shrink + end-of-dispatch verification) to the
+    data-parallel step.  The post-psum loss/grads are REPLICATED
+    across the mesh, so every device computes identical accept/reject
+    booleans and the selects stay consistent; ``fit_dp`` auto-enables
+    it for full-batch-bound models like ``fit`` does.
     """
+    from ..training.loop import (_GUARD_SCALE_MIN, _GUARD_SCALE_RECOVER,
+                                 _all_finite, _tree_select)
+
+    if reject_nonfinite and not grad_inside:
+        raise ValueError(
+            "reject_nonfinite is implemented for the grad_inside=True "
+            "formulation (the default); drop grad_inside=False or the "
+            "guard")
+
     n_dev = mesh.shape[axis]
     local_bs = None if batch_size is None else max(1, batch_size // n_dev)
 
@@ -175,8 +193,7 @@ def make_dp_scan_train_step(tx: optax.GradientTransformation, mesh: Mesh,
             dev = jax.lax.axis_index(axis)
             B = global_B(X_l.shape[0])
 
-            def body(carry, k):
-                model, opt_state = carry
+            def make_local_loss(k):
                 kb, ks = jax.random.split(jax.random.fold_in(k, dev))
                 X, Y = local_minibatch(X_l, Y_l, kb)
 
@@ -188,12 +205,61 @@ def make_dp_scan_train_step(tx: optax.GradientTransformation, mesh: Mesh,
                     return -(jnp.sum(ve) * scale
                              - (_kl_sum(m) - log_prior(m)) / n_dev)
 
-                loss_l, grads_l = jax.value_and_grad(local_loss)(model)
-                grads = jax.lax.psum(grads_l, axis)
-                loss = jax.lax.psum(loss_l, axis)
+                return local_loss
+
+            def loss_and_grads(model, k):
+                loss_l, grads_l = jax.value_and_grad(
+                    make_local_loss(k))(model)
+                return (jax.lax.psum(loss_l, axis),
+                        jax.lax.psum(grads_l, axis))
+
+            def loss_only(model, k):
+                return jax.lax.psum(make_local_loss(k)(model), axis)
+
+            def body(carry, k):
+                model, opt_state = carry
+                loss, grads = loss_and_grads(model, k)
                 updates, opt_state = tx.update(grads, opt_state, model)
                 model = optax.apply_updates(model, updates)
                 return (model, opt_state), loss
+
+            def guarded_body(carry, k):
+                (model, opt_state, prev_model, prev_opt,
+                 scale, last_loss) = carry
+                loss, grads = loss_and_grads(model, k)
+                ok_here = jnp.logical_and(jnp.isfinite(loss),
+                                          _all_finite(grads))
+                updates, new_opt = tx.update(grads, opt_state, model)
+                updates = jax.tree_util.tree_map(
+                    lambda u: scale * u, updates)
+                cand = optax.apply_updates(model, updates)
+                ok = jnp.logical_and(ok_here, _all_finite(cand))
+                new_model = _tree_select(ok, cand, prev_model)
+                new_opt_state = _tree_select(ok, new_opt, prev_opt)
+                new_prev_model = _tree_select(ok, model, prev_model)
+                new_prev_opt = _tree_select(ok, opt_state, prev_opt)
+                scale = jnp.where(
+                    ok, jnp.minimum(1.0, scale * _GUARD_SCALE_RECOVER),
+                    jnp.maximum(_GUARD_SCALE_MIN, scale * 0.5))
+                loss_out = jnp.where(jnp.isfinite(loss), loss, last_loss)
+                return (new_model, new_opt_state, new_prev_model,
+                        new_prev_opt, scale, loss_out), loss_out
+
+            if reject_nonfinite:
+                keys = jax.random.split(key, inner_steps + 1)
+                dt = jnp.asarray(0.0).dtype
+                carry0 = (model, opt_state, model, opt_state,
+                          jnp.asarray(1.0, dt), jnp.asarray(jnp.nan, dt))
+                carry, losses = jax.lax.scan(guarded_body, carry0,
+                                             keys[:-1])
+                model, opt_state, prev_model, prev_opt, _, _ = carry
+                # end-of-dispatch verification (see the single-chip
+                # guard): never hand the next dispatch an unverified
+                # state it cannot roll back out of (forward only)
+                ok_end = jnp.isfinite(loss_only(model, keys[-1]))
+                model = _tree_select(ok_end, model, prev_model)
+                opt_state = _tree_select(ok_end, opt_state, prev_opt)
+                return model, opt_state, jnp.nanmean(losses)
 
             keys = jax.random.split(key, inner_steps)
             (model, opt_state), losses = jax.lax.scan(

@@ -515,7 +515,8 @@ def fit_dp(model, mesh, iterations: int, learning_rate: float = 0.01,
            callbacks: Sequence = (), log_every: int = 100,
            scan_steps: Optional[int] = None,
            ckpt_dir: Optional[str] = None,
-           ckpt_every: Optional[int] = None):
+           ckpt_every: Optional[int] = None,
+           reject_nonfinite: Optional[bool] = None):
     """One-call multi-chip training: :func:`fit` over a device mesh.
 
     Replicates the parameters, shards the model's stored training set
@@ -539,15 +540,33 @@ def fit_dp(model, mesh, iterations: int, learning_rate: float = 0.01,
         raise ValueError(
             f"training rows N={N} must divide the '{axis}' mesh axis "
             f"({n_data}); pad or trim the dataset")
+    if reject_nonfinite is None:
+        reject_nonfinite = bool(getattr(model, "full_batch_bound", False))
     if scan_steps is None:
         scan_steps = max(1, min(10, log_every))
     chunk = max(1, scan_steps)
+    if reject_nonfinite and chunk < 8:
+        # same in-dispatch-room rule as fit() (the trust-scale escape
+        # lives in the scan carry)
+        import warnings
+        warnings.warn(
+            f"reject_nonfinite guard: raising scan_steps from {chunk} "
+            f"to 8 (the trust-scale escape needs in-dispatch room; "
+            f"pass reject_nonfinite=False to keep scan_steps={chunk})")
+        chunk = 8
+    if reject_nonfinite and sample_axis is not None:
+        import warnings
+        warnings.warn(
+            "reject_nonfinite guard is not implemented for the composed "
+            "data x sample step; training unguarded "
+            "(pass reject_nonfinite=False to silence)")
+        reject_nonfinite = False
 
     tx = masked_optimizer(optax.adam(learning_rate), model)
     if sample_axis is None:
-        step_fn = make_dp_scan_train_step(tx, mesh, axis=axis,
-                                          batch_size=batch_size,
-                                          inner_steps=chunk)
+        step_fn = make_dp_scan_train_step(
+            tx, mesh, axis=axis, batch_size=batch_size,
+            inner_steps=chunk, reject_nonfinite=reject_nonfinite)
     else:
         step_fn = make_dp_sp_scan_train_step(tx, mesh, data_axis=axis,
                                              sample_axis=sample_axis,

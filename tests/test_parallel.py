@@ -551,3 +551,64 @@ def test_dp_evaluate_classification_matches_device_emulation():
     assert_allclose(got["accuracy"], acc, rtol=1e-9)
     assert_allclose(got["loglik"], ll, rtol=1e-9)
     assert_allclose(got["nll"], -ll, rtol=1e-9)
+
+
+def test_dp_scan_guard_noop_and_bounded():
+    """The DP trajectory guard (round-5): on a sane trajectory the
+    guarded step tracks the unguarded one to roundoff (scale pinned at
+    1.0, post-psum booleans replicated), and under an exploding
+    update rule the endpoint parameters stay finite."""
+    import optax
+    m0 = _model(N=32, S=1, L=1)
+    mesh = make_mesh(num_devices=2)
+
+    # sane trajectory: guarded == unguarded
+    results = {}
+    for guard in (False, True):
+        tx = optax.adam(0.02)
+        m = replicate(m0, mesh)
+        X = shard_along(m0.X_data, mesh)
+        Y = shard_along(m0.Y_data, mesh)
+        opt_state = tx.init(m)
+        step = make_dp_scan_train_step(tx, mesh, batch_size=16,
+                                       inner_steps=3,
+                                       reject_nonfinite=guard)
+        losses = []
+        for i in range(3):
+            m, opt_state, loss = step(m, opt_state, X, Y,
+                                      jax.random.fold_in(
+                                          jax.random.PRNGKey(0), i))
+            losses.append(float(loss))
+        results[guard] = (m, losses)
+    assert_allclose(results[True][1], results[False][1], rtol=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(results[True][0]),
+                    jax.tree_util.tree_leaves(results[False][0])):
+        assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8,
+                        atol=1e-10)
+
+    # exploding rule: guarded endpoint finite, unguarded goes nonfinite
+    def run(guard):
+        tx = optax.sgd(1e6)
+        m = replicate(m0, mesh)
+        X = shard_along(m0.X_data, mesh)
+        Y = shard_along(m0.Y_data, mesh)
+        opt_state = tx.init(m)
+        step = make_dp_scan_train_step(tx, mesh, inner_steps=10,
+                                       reject_nonfinite=guard)
+        for i in range(3):
+            m, opt_state, loss = step(m, opt_state, X, Y,
+                                      jax.random.fold_in(
+                                          jax.random.PRNGKey(1), i))
+        return all(bool(jnp.all(jnp.isfinite(leaf)))
+                   for leaf in jax.tree_util.tree_leaves(m))
+
+    assert not run(False)
+    assert run(True)
+
+    # the unsupported combination fails fast
+    import optax as _optax
+    import pytest
+    with pytest.raises(ValueError, match="grad_inside"):
+        make_dp_scan_train_step(_optax.adam(0.01), mesh,
+                                grad_inside=False,
+                                reject_nonfinite=True)
