@@ -85,6 +85,7 @@ def test_bench_serving_rows_tiny(monkeypatch):
     for r in rows:
         assert r["latency_ms"] > 0
         assert r["points_per_sec"] > 0
+        assert r["device_ms"] > 0      # scan-amortized flag basis
         assert r["rtt_ms"] >= 0
         assert isinstance(r["congested"], bool)
 
