@@ -166,6 +166,7 @@ SLOW_TESTS = {
     # record/flag tests; everything heavier rides slow
     "test_serving.py::test_make_server_predict_density_and_live",
     "test_serving.py::test_make_server_batch_buckets",
+    "test_serving.py::test_make_server_heteroscedastic_head_preserved",
     "test_training.py::test_reject_nonfinite_bounds_exploding_trajectory",
     "test_training.py::test_fit_auto_guards_full_batch_collapsed",
     "test_pallas_psi2.py::test_gradients_match_reference_all_operands",

@@ -228,3 +228,32 @@ def test_make_server_batch_buckets():
     assert mean.shape[-2] == 19
     assert np.all(np.isfinite(np.asarray(mean)))
     assert np.all(np.asarray(var) > 0)
+
+
+def test_make_server_heteroscedastic_head_preserved():
+    """make_server on DGPHeteroscedastic: the posterior cache maps the
+    SVGP layers in place and KEEPS the model class, so the custom
+    (mean, log-noise)-head y-space moments survive the cached path."""
+    import doubly_stochastic_dgp_tpu as dsd
+    from doubly_stochastic_dgp_tpu import init_layers_linear, make_server
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(40, 2)
+    Y = np.sin(X[:, :1]) + 0.05 * rng.randn(40, 1)
+    layers = init_layers_linear(X, Y, X[:8].copy(),
+                                [dsd.RBF.make(2), dsd.RBF.make(2)],
+                                num_outputs=2)
+    m = dsd.DGPHeteroscedastic.make(X, Y, dsd.Gaussian.make(0.05),
+                                    layers, num_samples=3)
+    key = jax.random.PRNGKey(0)
+    serve = make_server(m, S=3)
+    mean_s, var_s = serve(X[:5], key=key)
+    mean_l, var_l = m.predict_y(jnp.asarray(X[:5]), S=3, key=key)
+    assert_allclose(np.asarray(mean_s), np.asarray(mean_l), rtol=1e-8,
+                    atol=1e-10)
+    # variance: cached staged (sum-of-squares) form vs live — roundoff
+    assert_allclose(np.asarray(var_s), np.asarray(var_l), rtol=1e-5,
+                    atol=1e-8)
+    # and the noise head is actually in the moments: var exceeds a
+    # homoscedastic floor and varies across inputs
+    assert float(np.std(np.asarray(var_s))) > 0
