@@ -706,11 +706,13 @@ def _flag_vs_prior(row, dispatch_ms=None):
             # latency on this tunnel swings ~2x between QUIET runs
             # (measured 1.78 -> 4.04 ms same-day, round-5), so a
             # latency-based flag is either vacuous or noise; the
-            # device leg is what a real serving regression moves
+            # device leg is what a real serving regression moves.
+            # Fixed 12% tolerance — spread_pct here is LATENCY spread
+            # (the noise the device leg escapes), so widening by it
+            # would re-import exactly that noise into the flag.
             row["prior_device_ms"] = prev_dev
-            tol = max(row.get("spread_pct", 0.0) / 100.0, 0.12)
             row["regressed_vs_prior"] = bool(
-                row["device_ms"] > prev_dev * (1.0 + tol))
+                row["device_ms"] > prev_dev * 1.12)
             return
         # legacy (pre-device-leg prior): best-of-repeats latency
         tol = max(row.get("spread_pct", 0.0) / 100.0, 0.10)
@@ -742,10 +744,12 @@ def _serving_device_ms(call2, x0, key, iters=50, n=6):
 
         def body(c, kk):
             out = call2(c, kk)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            # couple the output back into the carry so the scan can't
-            # be collapsed; keep the carry shape
-            return c + 0.0 * jnp.mean(leaf), None
+            # couple EVERY output leaf back into the carry: coupling
+            # only the first (the mean) would let XLA dead-code-
+            # eliminate the variance path out of the measured program
+            coupling = sum(jnp.mean(leaf)
+                           for leaf in jax.tree_util.tree_leaves(out))
+            return c + 0.0 * coupling, None
 
         c, _ = jax.lax.scan(body, x, jax.random.split(k, iters))
         return c.ravel()[0]

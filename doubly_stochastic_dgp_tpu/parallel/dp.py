@@ -155,15 +155,16 @@ def make_dp_scan_train_step(tx: optax.GradientTransformation, mesh: Mesh,
         scanned).
 
     ``reject_nonfinite=True`` applies the single-chip trajectory guard
-    (training/loop.py::make_scan_train_step: delayed rollback +
-    trust-scale shrink + end-of-dispatch verification) to the
+    (the shared ``training.loop.guarded_scan`` core: delayed rollback
+    + trust-scale shrink + end-of-dispatch verification) to the
     data-parallel step.  The post-psum loss/grads are REPLICATED
     across the mesh, so every device computes identical accept/reject
-    booleans and the selects stay consistent; ``fit_dp`` auto-enables
-    it for full-batch-bound models like ``fit`` does.
+    booleans and the selects stay consistent.  NB this step optimizes
+    the per-datum E_log_p_Y - KL decomposition — full-batch-bound
+    collapsed models must use parallel.collapsed's dedicated steps
+    instead (``fit_dp`` fails fast on them).
     """
-    from ..training.loop import (_GUARD_SCALE_MIN, _GUARD_SCALE_RECOVER,
-                                 _all_finite, _tree_select)
+    from ..training.loop import guarded_scan
 
     if reject_nonfinite and not grad_inside:
         raise ValueError(
@@ -223,43 +224,13 @@ def make_dp_scan_train_step(tx: optax.GradientTransformation, mesh: Mesh,
                 model = optax.apply_updates(model, updates)
                 return (model, opt_state), loss
 
-            def guarded_body(carry, k):
-                (model, opt_state, prev_model, prev_opt,
-                 scale, last_loss) = carry
-                loss, grads = loss_and_grads(model, k)
-                ok_here = jnp.logical_and(jnp.isfinite(loss),
-                                          _all_finite(grads))
-                updates, new_opt = tx.update(grads, opt_state, model)
-                updates = jax.tree_util.tree_map(
-                    lambda u: scale * u, updates)
-                cand = optax.apply_updates(model, updates)
-                ok = jnp.logical_and(ok_here, _all_finite(cand))
-                new_model = _tree_select(ok, cand, prev_model)
-                new_opt_state = _tree_select(ok, new_opt, prev_opt)
-                new_prev_model = _tree_select(ok, model, prev_model)
-                new_prev_opt = _tree_select(ok, opt_state, prev_opt)
-                scale = jnp.where(
-                    ok, jnp.minimum(1.0, scale * _GUARD_SCALE_RECOVER),
-                    jnp.maximum(_GUARD_SCALE_MIN, scale * 0.5))
-                loss_out = jnp.where(jnp.isfinite(loss), loss, last_loss)
-                return (new_model, new_opt_state, new_prev_model,
-                        new_prev_opt, scale, loss_out), loss_out
-
             if reject_nonfinite:
+                # the shared guard core (training/loop.py): the
+                # post-psum loss/grads above are replicated, so the
+                # accept/reject selects stay mesh-consistent
                 keys = jax.random.split(key, inner_steps + 1)
-                dt = jnp.asarray(0.0).dtype
-                carry0 = (model, opt_state, model, opt_state,
-                          jnp.asarray(1.0, dt), jnp.asarray(jnp.nan, dt))
-                carry, losses = jax.lax.scan(guarded_body, carry0,
-                                             keys[:-1])
-                model, opt_state, prev_model, prev_opt, _, _ = carry
-                # end-of-dispatch verification (see the single-chip
-                # guard): never hand the next dispatch an unverified
-                # state it cannot roll back out of (forward only)
-                ok_end = jnp.isfinite(loss_only(model, keys[-1]))
-                model = _tree_select(ok_end, model, prev_model)
-                opt_state = _tree_select(ok_end, opt_state, prev_opt)
-                return model, opt_state, jnp.nanmean(losses)
+                return guarded_scan(loss_and_grads, loss_only, tx,
+                                    model, opt_state, keys)
 
             keys = jax.random.split(key, inner_steps)
             (model, opt_state), losses = jax.lax.scan(

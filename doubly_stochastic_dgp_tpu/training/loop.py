@@ -126,6 +126,65 @@ _GUARD_SCALE_MIN = 2.0 ** -12
 _GUARD_SCALE_RECOVER = 2.0 ** (1.0 / 16.0)
 
 
+def guarded_scan(loss_and_grads, loss_only, tx, model, opt_state, keys):
+    """The reject-nonfinite scanned optimization core, shared by the
+    single-chip step (make_scan_train_step) and the data-parallel step
+    (parallel/dp.py — whose post-psum loss/grads are replicated, so
+    the accept/reject selects stay mesh-consistent).
+
+    ``loss_and_grads(model, key) -> (loss, grads)`` and
+    ``loss_only(model, key) -> loss`` supply the objective;
+    ``keys`` has inner_steps + 1 entries (the last drives the
+    end-of-dispatch verification forward).  Returns
+    (model, opt_state, nanmean-of-losses).  Semantics: one-step-
+    DELAYED rollback of the update that walked into the nonfinite
+    region, trust-scale halving on reject / clamped recovery on
+    accept, candidate-parameter finiteness checks, and a final
+    forward so a dispatch never hands its successor an unverified
+    state it cannot roll back out of."""
+
+    def guarded_body(carry, k):
+        (model, opt_state, prev_model, prev_opt,
+         scale, last_loss) = carry
+        loss, grads = loss_and_grads(model, k)
+        ok_here = jnp.logical_and(jnp.isfinite(loss),
+                                  _all_finite(grads))
+        updates, new_opt = tx.update(grads, opt_state, model)
+        updates = jax.tree_util.tree_map(lambda u: scale * u, updates)
+        cand = optax.apply_updates(model, updates)
+        ok = jnp.logical_and(ok_here, _all_finite(cand))
+        # accept: advance to the candidate, remember the pre-update
+        # state; reject: roll back to the pre-update state (the last
+        # state whose loss evaluated finite) and shrink the scale
+        new_model = _tree_select(ok, cand, prev_model)
+        new_opt_state = _tree_select(ok, new_opt, prev_opt)
+        new_prev_model = _tree_select(ok, model, prev_model)
+        new_prev_opt = _tree_select(ok, opt_state, prev_opt)
+        scale = jnp.where(ok,
+                          jnp.minimum(1.0, scale * _GUARD_SCALE_RECOVER),
+                          jnp.maximum(_GUARD_SCALE_MIN, scale * 0.5))
+        loss_out = jnp.where(jnp.isfinite(loss), loss, last_loss)
+        return (new_model, new_opt_state, new_prev_model, new_prev_opt,
+                scale, loss_out), loss_out
+
+    dt = jnp.asarray(0.0).dtype
+    carry0 = (model, opt_state, model, opt_state,
+              jnp.asarray(1.0, dt), jnp.asarray(jnp.nan, dt))
+    carry, losses = jax.lax.scan(guarded_body, carry0, keys[:-1])
+    model, opt_state, prev_model, prev_opt, _, _ = carry
+    # end-of-dispatch verification (one extra forward): the scan's
+    # rollback is one step DELAYED — the final accepted candidate has
+    # not had its loss evaluated yet, and the next dispatch re-seeds
+    # prev := model, so handing back an unverified state could strand
+    # it on a NaN plateau it cannot roll back out of
+    ok_end = jnp.isfinite(loss_only(model, keys[-1]))
+    model = _tree_select(ok_end, model, prev_model)
+    opt_state = _tree_select(ok_end, opt_state, prev_opt)
+    # nanmean: a dispatch can open on steps with no finite loss seen
+    # yet (last-finite fill unseeded) — report the finite losses only
+    return model, opt_state, jnp.nanmean(losses)
+
+
 def make_scan_train_step(tx: optax.GradientTransformation,
                          batch_size: Optional[int] = None,
                          inner_steps: int = 10,
@@ -179,58 +238,23 @@ def make_scan_train_step(tx: optax.GradientTransformation,
         model = optax.apply_updates(model, updates)
         return (model, opt_state), loss
 
-    def guarded_body(carry, k):
-        model, opt_state, prev_model, prev_opt, scale, last_loss = carry
+    def loss_and_grads(model, k):
         kb, ks = jax.random.split(k)
         X, Y = minibatch(model, kb)
-        loss, grads = jax.value_and_grad(loss_fn)(model, X, Y, ks)
-        ok_here = jnp.logical_and(jnp.isfinite(loss), _all_finite(grads))
-        updates, new_opt = tx.update(grads, opt_state, model)
-        updates = jax.tree_util.tree_map(lambda u: scale * u, updates)
-        cand = optax.apply_updates(model, updates)
-        ok = jnp.logical_and(ok_here, _all_finite(cand))
-        # accept: advance to the candidate, remember the pre-update
-        # state; reject: roll back to the pre-update state (the last
-        # state whose loss evaluated finite) and shrink the scale
-        new_model = _tree_select(ok, cand, prev_model)
-        new_opt_state = _tree_select(ok, new_opt, prev_opt)
-        new_prev_model = _tree_select(ok, model, prev_model)
-        new_prev_opt = _tree_select(ok, opt_state, prev_opt)
-        scale = jnp.where(ok,
-                          jnp.minimum(1.0, scale * _GUARD_SCALE_RECOVER),
-                          jnp.maximum(_GUARD_SCALE_MIN, scale * 0.5))
-        loss_out = jnp.where(jnp.isfinite(loss), loss, last_loss)
-        return (new_model, new_opt_state, new_prev_model, new_prev_opt,
-                scale, loss_out), loss_out
+        return jax.value_and_grad(loss_fn)(model, X, Y, ks)
+
+    def loss_only(model, k):
+        kb, ks = jax.random.split(k)
+        X, Y = minibatch(model, kb)
+        return loss_fn(model, X, Y, ks)
 
     if reject_nonfinite:
         @partial(jax.jit, donate_argnums=_tpu_donate())
         def step(model, opt_state, key):
             check_minibatchable(model, batch_size)
             keys = jax.random.split(key, inner_steps + 1)
-            dt = jnp.asarray(0.0).dtype
-            carry0 = (model, opt_state, model, opt_state,
-                      jnp.asarray(1.0, dt), jnp.asarray(jnp.nan, dt))
-            carry, losses = jax.lax.scan(guarded_body, carry0,
-                                         keys[:-1])
-            model, opt_state, prev_model, prev_opt, _, _ = carry
-            # end-of-dispatch verification (one extra forward, ~1/
-            # inner_steps overhead): the scan's rollback is one step
-            # DELAYED — the final accepted candidate has not had its
-            # loss evaluated yet, and the next dispatch re-seeds
-            # prev := model, so handing back an unverified state could
-            # strand the next dispatch on a NaN plateau it cannot roll
-            # back out of.  Verify the final state here and hand back
-            # the last verified one instead if it fails.
-            kb, ks = jax.random.split(keys[-1])
-            Xc, Yc = minibatch(model, kb)
-            ok_end = jnp.isfinite(loss_fn(model, Xc, Yc, ks))
-            model = _tree_select(ok_end, model, prev_model)
-            opt_state = _tree_select(ok_end, opt_state, prev_opt)
-            # nanmean: a dispatch can open on steps with no finite
-            # loss seen yet (last-finite fill unseeded) — report the
-            # finite losses only; NaN only if NO step evaluated finite
-            return model, opt_state, jnp.nanmean(losses)
+            return guarded_scan(loss_and_grads, loss_only, tx,
+                                model, opt_state, keys)
 
         return step
 
@@ -533,6 +557,23 @@ def fit_dp(model, mesh, iterations: int, learning_rate: float = 0.01,
 
     assert_live(model)
     check_minibatchable(model, batch_size)
+    if getattr(model, "full_batch_bound", False):
+        # the generic dp step optimizes the per-datum E_log_p_Y - KL
+        # decomposition; the collapsed family's bound is NOT a sum of
+        # per-datum terms, so routing it here would silently optimize
+        # the WRONG objective (measured: fit_dp(DGPCollapsed) reported
+        # 419.5 while the true collapsed -elbo was 508.6)
+        raise ValueError(
+            f"{type(model).__name__}'s objective is a full-batch "
+            f"collapsed bound — fit_dp's generic data-parallel step "
+            f"would silently optimize the uncollapsed per-datum "
+            f"decomposition instead.  Use the dedicated collapsed DP "
+            f"machinery: parallel.collapsed.collapsed_shard/"
+            f"damianou_shard + make_dp_collapsed_train_step/"
+            f"make_dp_damianou_train_step (exact psum'd psi-moment "
+            f"algebra), or train single-chip with fit().")
+    if reject_nonfinite is None:
+        reject_nonfinite = False
 
     n_data = mesh.shape[axis]
     N = int(model.X_data.shape[0])
@@ -540,8 +581,6 @@ def fit_dp(model, mesh, iterations: int, learning_rate: float = 0.01,
         raise ValueError(
             f"training rows N={N} must divide the '{axis}' mesh axis "
             f"({n_data}); pad or trim the dataset")
-    if reject_nonfinite is None:
-        reject_nonfinite = bool(getattr(model, "full_batch_bound", False))
     if scan_steps is None:
         scan_steps = max(1, min(10, log_every))
     chunk = max(1, scan_steps)

@@ -114,8 +114,12 @@ def main():
                 # there, not just the faster route (round-5 record)
                 res["xla_fb"] = scan_time(fwdbwd, mu)
             except Exception as e:
+                oom = any(s in str(e) for s in
+                          ("RESOURCE_EXHAUSTED", "Ran out of memory",
+                           "hbm"))
                 print(f"#   xla fwd+bwd failed at D={D}: "
-                      f"{type(e).__name__} (HBM OOM at large N*M^2)",
+                      f"{type(e).__name__}"
+                      f"{' (HBM OOM at large N*M^2)' if oom else ''}",
                       flush=True)
                 res["xla_fb"] = float("nan")
         # all-pallas forward (fwd-only A/B; not a production route):

@@ -612,3 +612,29 @@ def test_dp_scan_guard_noop_and_bounded():
         make_dp_scan_train_step(_optax.adam(0.01), mesh,
                                 grad_inside=False,
                                 reject_nonfinite=True)
+
+
+def test_fit_dp_rejects_full_batch_collapsed_models():
+    """fit_dp's generic step optimizes the per-datum E_log_p_Y - KL
+    decomposition; collapsed bounds are NOT per-datum sums, so routing
+    them there silently optimized the wrong objective (round-5 review
+    finding) — now an actionable fail-fast pointing at the dedicated
+    parallel.collapsed machinery."""
+    import pytest
+
+    import doubly_stochastic_dgp_tpu as dsd
+    from doubly_stochastic_dgp_tpu.models.layers import SGPRLayer
+    from doubly_stochastic_dgp_tpu.training.loop import fit_dp
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(32, 2)
+    Y = np.sin(X[:, :1]) + 0.05 * rng.randn(32, 1)
+    kerns = [RBF.make(2), RBF.make(2)]
+    layers = init_layers_linear(X, Y, X[:8].copy(), kerns, num_outputs=1)
+    fin = SGPRLayer.make(layers[-1].kern, np.asarray(layers[-1].Z.value),
+                         1, layers[-1].mean_function)
+    m = dsd.DGPCollapsed.make(X, Y, Gaussian.make(0.05),
+                              layers[:-1] + [fin])
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="collapsed"):
+        fit_dp(m, mesh, iterations=4)
